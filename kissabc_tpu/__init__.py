@@ -1,0 +1,41 @@
+"""kissabc_tpu — a TPU-native likelihood-free (ABC) inference engine.
+
+A from-scratch JAX/XLA rebuild of the capabilities of KissABC.jl
+(https://github.com/francescoalemanno/KissABC.jl): the user supplies a
+prior (``Factored`` or any distribution here) and a cost function wrapping
+a stochastic simulator; the engine returns posterior samples as
+``Particles``.
+
+Samplers:
+- ``sample(model, AIS(N), Ns, ...)`` — affine-invariant ensemble MCMC
+  (red/black parallelized stretch/DE/walk mixture) over ABC densities
+  (``ApproxPosterior``, ``ApproxKernelizedPosterior``) or classical
+  targets (``CommonLogDensity``).
+- ``smc(prior, cost, ...)`` — adaptive-epsilon SMC-ABC (the flagship).
+- ``ABCDE(prior, cost, eps, ...)`` — ABC differential evolution.
+- ``pfilter(prior, cost, N, ...)`` — quantile particle filter.
+
+Everything compiles to single XLA programs (``lax.while_loop``/``scan``
+carries, struct-of-arrays particle pytrees) and shards the walker/chain
+axes over a ``jax.sharding.Mesh`` (see ``kissabc_tpu.parallel``).
+
+Like the reference re-exports Distributions.jl and
+MonteCarloMeasurements.jl (KissABC.jl:13-14), this package re-exports its
+distributions and the ``Particles`` result type at the top level.
+"""
+
+from .distributions import (  # noqa: F401
+    Beta, Categorical, DiscreteUniform, Distribution, Exponential, Factored,
+    Gamma, IID, LogNormal, MultivariateNormal, MvNormal, NegativeBinomial,
+    Normal, Poisson, Product, Truncated, TruncatedNormal, Uniform,
+)
+from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
+from .core.density import (  # noqa: F401
+    ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
+)
+from .core.ais import AIS, sample, sample_raw  # noqa: F401
+from .core.smc import smc  # noqa: F401
+from .core.abcde import ABCDE  # noqa: F401
+from .core.pfilter import pfilter  # noqa: F401
+
+__version__ = "0.1.0"

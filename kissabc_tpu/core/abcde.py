@@ -1,0 +1,161 @@
+"""ABC Differential Evolution — reference ``ABCDE``
+(``src/smc.jl:347-430``, à la Turner & Sederberg).
+
+Generational double-buffered population: every generation, each particle i
+picks a base s (itself, or — when above the annealed per-particle
+threshold — a random not-worse particle, smc.jl:389-391), takes a DE step
+``theta_s + gamma*(theta_a - theta_b)`` with gamma = pw*2.38/sqrt(2d)
+(smc.jl:368,400), passes a cheap prior-MH gate before the costly simulator
+(smc.jl:401-403), and commits into the buffer when
+``cost <= max(eps, Delta_i)`` (smc.jl:406).
+
+TPU-native: the per-generation particle loop is one batched kernel; the
+"random not-worse particle" draw uses a rank trick (sort costs once, draw
+a uniform position below i's inclusive rank) instead of the reference's
+materialized index set; the whole generational loop is a single jitted
+``lax.while_loop`` honoring ``earlystop`` (smc.jl:377-379).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tree import tfloat, tgather, tselect, tree_map
+from ..particles import Particles, particles_from_tree
+from ..utils.rng import as_key
+from .density import _adapt_cost
+from .pfilter import _init_with_retry
+
+_f32 = jnp.float32
+
+
+class ABCDEResult(NamedTuple):
+    P: object
+    C: Particles
+    reached_eps: bool
+    nsim: int
+    iterations: int
+
+
+def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
+          generations: int = 20, alpha: float = 0.0, earlystop: bool = False,
+          verbose: bool = True, proposal_width: float = 1.0,
+          parallel: bool = True, key=0) -> ABCDEResult:
+    """Signature/defaults mirror the reference (smc.jl:347)."""
+    if not (0 <= alpha < 1):
+        raise ValueError("alpha must be in 0 <= alpha < 1.")
+    del parallel
+    n = nparticles
+    d = prior.nparams
+    gamma = proposal_width * 2.38 / math.sqrt(2 * d)
+    cost2 = _adapt_cost(cost)
+
+    vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+
+    def generation(key, thetas, lps, ds, nsims):
+        kb, ka2, kb2, kg, km, kc = jax.random.split(key, 6)
+        eps_l = jnp.min(ds)
+        eps_h = jnp.max(ds)
+        eps_pop = jnp.maximum(eps_target, eps_l + alpha * (eps_h - eps_l))
+
+        idx = jnp.arange(n, dtype=jnp.int32)
+        active = jnp.ones((n,), bool)
+        if earlystop:
+            active = ds > eps_target  # smc.jl:382-384
+
+        # per-particle threshold (smc.jl:388)
+        eps_i = jnp.where(ds <= eps_target, eps_target, eps_pop)
+
+        # base selection: random not-worse particle when above threshold
+        # (smc.jl:389-391). rank trick: sort ds ascending; for particle i,
+        # the candidate set {j : ds[j] <= ds[i]} is exactly the first
+        # count_i sorted positions with count_i = rank of ds[i] (right).
+        order = jnp.argsort(ds, stable=True)
+        ds_sorted = ds[order]
+        count = jnp.searchsorted(ds_sorted, ds, side="right").astype(jnp.int32)
+        u = jax.vmap(
+            lambda k, c: jax.random.randint(k, (), 0, c, dtype=jnp.int32)
+        )(jax.random.split(kb, n), jnp.maximum(count, 1))
+        s_rand = order[u]
+        s = jnp.where(ds > eps_i, s_rand, idx)
+
+        # DE partners a != s, b != a,s from the full range (smc.jl:392-399)
+        def partners(k1, k2, si):
+            a = jax.random.randint(k1, (), 0, n - 1, dtype=jnp.int32)
+            a = a + (a >= si)
+            b = jax.random.randint(k2, (), 0, n - 2, dtype=jnp.int32)
+            lo = jnp.minimum(a, si)
+            hi = jnp.maximum(a, si)
+            b = b + (b >= lo)
+            b = b + (b >= hi)
+            return a, b
+
+        aa, bb = jax.vmap(partners)(
+            jax.random.split(ka2, n), jax.random.split(kb2, n), s)
+
+        ts = tgather(thetas, s)
+        ta = tgather(thetas, aa)
+        tb = tgather(thetas, bb)
+        props = tree_map(
+            lambda xs_, xa, xb: xs_ + gamma * (xa - xb), ts, ta, tb)
+
+        lpp = jnp.asarray(vlog(props), _f32)
+        lu = -jax.random.exponential(km, (n,), _f32)
+        gate_prior = active & (lu <= jnp.minimum(0.0, lpp - lps))
+        nsims = nsims + gate_prior.astype(jnp.int32)  # smc.jl:404 tally
+        dp = jnp.asarray(vcost(props, jax.random.split(kc, n)), _f32)
+        commit = gate_prior & (dp <= jnp.maximum(eps_i, ds))
+        # double buffer: reads above used the old population; writes land
+        # in the new one (smc.jl:373-375,412-414)
+        thetas = tselect(commit, props, thetas)
+        ds = jnp.where(commit, dp, ds)
+        lps = jnp.where(commit, lpp, lps)
+        return thetas, lps, ds, nsims
+
+    def body(state):
+        key, thetas, lps, ds, nsims, it = state
+        key, sub = jax.random.split(key)
+        thetas, lps, ds, nsims = generation(sub, thetas, lps, ds, nsims)
+        if verbose:
+            jax.debug.print(
+                "ABCDE gen={it} completion={c} eps_range=({lo},{hi})",
+                it=it + 1, c=jnp.mean((ds <= eps_target).astype(_f32)),
+                lo=jnp.min(ds), hi=jnp.max(ds))
+        return key, thetas, lps, ds, nsims, it + 1
+
+    def cond(state):
+        _, _, _, ds, _, it = state
+        go = it < generations
+        if earlystop:
+            go = go & (jnp.max(ds) > eps_target)
+        return go
+
+    def program(key):
+        kinit, kloop = jax.random.split(key)
+        thetas, lps, ds, ok = _init_with_retry(prior, cost2, n, kinit)
+        state = (kloop, thetas, lps, ds, jnp.zeros((n,), jnp.int32),
+                 jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, thetas, lps, ds, nsims, it = state
+        pushed = jax.vmap(prior.push_tree)(thetas)
+        return pushed, ds, nsims, it, ok
+
+    pushed, ds, nsims, it, ok = jax.jit(program)(as_key(key))
+    if not bool(jnp.all(ok)):
+        raise RuntimeError(
+            "Prior leads to infinite costs too often; could not initialize "
+            "a finite population.")
+    ds_np = np.asarray(ds)
+    return ABCDEResult(
+        P=particles_from_tree(tree_map(np.asarray, pushed)),
+        C=Particles(ds_np),
+        reached_eps=bool(ds_np.max() <= eps_target),
+        nsim=int(np.asarray(nsims).sum()),
+        iterations=int(it),
+    )

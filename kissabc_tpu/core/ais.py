@@ -1,0 +1,236 @@
+"""Affine-Invariant ensemble Sampler (AIS) + the ``sample`` driver.
+
+Reference: the ``AIS`` sampler and AbstractMCMC ``step`` overloads
+(``src/KissABC.jl:21-80``) driving ``transition!``
+(``src/transition.jl:67-82``).
+
+TPU-native redesign (SURVEY §7):
+
+- The ensemble is a struct-of-arrays float pytree sharded on the walker
+  axis; one *sweep* updates the red half against the black half and then
+  vice versa — the standard parallelization of the Goodman–Weare moves —
+  instead of the reference's one-walker-at-a-time round robin
+  (KissABC.jl:74-79). Each half-update is a single fused vmapped kernel:
+  mixture proposal + push + loglike (user simulator) + MH accept.
+
+- Emission semantics: the reference records 1 sample per step, visiting
+  walkers round-robin with ``ntransitions`` moves in between; over N
+  emissions every walker receives ``ntransitions`` moves. Here one
+  *block* = ``ntransitions`` full sweeps followed by emitting all N
+  walkers — the identical simulator-call budget and recorded-sample count
+  for the same (Ns, ntransitions, discard_initial) arguments.
+
+- Init draws the whole ensemble at once and re-draws invalid (non-finite
+  density) walkers in bounded masked retry rounds (KissABC.jl:50-61); the
+  reference's hard error surfaces as a host-side RuntimeError.
+
+- Multi-chain (the reference's MCMCThreads/MCMCDistributed, KissABC.jl:9)
+  is a ``chains=`` kwarg: an extra vmapped chain axis, shardable over the
+  mesh; results are stacked like ``chainsstack`` (KissABC.jl:96-104).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.moves import mixture_one, propose_half
+from ..ops.tree import tselect, tree_map
+from ..particles import particles_from_tree
+from ..utils.rng import as_key
+
+_f32 = jnp.float32
+
+
+class AIS:
+    """Ensemble sampler configuration: ``AIS(nparticles)``
+    (KissABC.jl:21-23)."""
+
+    def __init__(self, nparticles: int):
+        self.nparticles = int(nparticles)
+
+    def __repr__(self):
+        return f"AIS({self.nparticles})"
+
+
+# --------------------------------------------------------------------------
+# ensemble init with bounded invalid-retry (KissABC.jl:50-61)
+# --------------------------------------------------------------------------
+
+def _init_ensemble(model, key, n, retry_sampling):
+    def draw(k):
+        kd, kl = jax.random.split(k)
+        th = model.init_sample(kd)
+        ld = model.loglike(model.push(th), kl)
+        return th, ld
+
+    keys = jax.random.split(key, n + 1)
+    thetas, lds = jax.vmap(draw)(keys[:n])
+    valid0 = jax.vmap(model.ld_valid)(lds)
+
+    def cond(c):
+        t, _, _, valid, _ = c
+        return (t < retry_sampling) & ~jnp.all(valid)
+
+    def body(c):
+        t, th, ld, valid, k = c
+        k, sub = jax.random.split(k)
+        nth, nld = jax.vmap(draw)(jax.random.split(sub, n))
+        th = tselect(valid, th, nth)
+        ld = tselect(valid, ld, nld)
+        valid = jax.vmap(model.ld_valid)(ld)
+        return t + 1, th, ld, valid, k
+
+    _, thetas, lds, valid, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), thetas, lds, valid0, keys[n]))
+    return thetas, lds, valid
+
+
+# --------------------------------------------------------------------------
+# red/black sweep
+# --------------------------------------------------------------------------
+
+def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
+    """MH-update walkers [lo:hi) with partners drawn from the complement."""
+    d = model.nparams
+    upd = tree_map(lambda x: x[lo:hi], thetas)
+    upd_lds = tree_map(lambda x: x[lo:hi], lds)
+    comp = tree_map(lambda x: jnp.concatenate([x[:lo], x[hi:]]), thetas)
+
+    kp, kl, ka = jax.random.split(key, 3)
+    props, corr = propose_half(kp, upd, comp, d, kernel=kernel)
+    pushed = jax.vmap(model.push)(props)
+    h = hi - lo
+    new_lds = jax.vmap(model.loglike)(pushed, jax.random.split(kl, h))
+    acc = jax.vmap(model.accept)(
+        jax.random.split(ka, h), upd_lds, new_lds, corr)
+    # the reference stores the raw float proposal, pushing only at
+    # loglike/emission time (transition.jl:77)
+    upd = tselect(acc, props, upd)
+    upd_lds = tselect(acc, new_lds, upd_lds)
+
+    thetas = tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+            full, part, lo, axis=0),
+        thetas, upd)
+    lds = tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+            full, part, lo, axis=0),
+        lds, upd_lds)
+    return thetas, lds
+
+
+def make_sweep(model, n, kernel=mixture_one):
+    """One full red/black sweep over the ensemble; jit/vmap/scan-safe."""
+    h = n // 2
+
+    def sweep(key, thetas, lds):
+        ka, kb = jax.random.split(key)
+        thetas, lds = _half_update(model, ka, thetas, lds, 0, h, n, kernel)
+        thetas, lds = _half_update(model, kb, thetas, lds, h, n, n, kernel)
+        return thetas, lds
+
+    return sweep
+
+
+# --------------------------------------------------------------------------
+# the sample driver (the reference's re-exported `sample`, KissABC.jl:106-175)
+# --------------------------------------------------------------------------
+
+def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
+             discard_initial: int = 0, retry_sampling: int = 100,
+             kernel=mixture_one):
+    """Build the jittable end-to-end AIS program ``run(key) -> (samples
+    [blocks*n, ...], valid [n])``. Shared by the single-chain driver, the
+    vmapped multi-chain driver, and the benchmarks."""
+    n = sampler.nparticles
+    if n < model.nparams + 5:
+        raise ValueError(
+            f"nparticles = {n} is insufficient, set number of particles in "
+            f"AIS(.) at least to {model.nparams + 5}")
+    sweep = make_sweep(model, n, kernel)
+
+    burn_sweeps = max(0, math.ceil(discard_initial * ntransitions / n))
+    blocks = max(1, math.ceil(ns / n))
+
+    def run(key):
+        kinit, kburn, krun = jax.random.split(key, 3)
+        thetas, lds, valid = _init_ensemble(model, kinit, n, retry_sampling)
+
+        def do_sweep(carry, k):
+            th, ld = carry
+            th, ld = sweep(k, th, ld)
+            return (th, ld), None
+
+        if burn_sweeps > 0:
+            (thetas, lds), _ = jax.lax.scan(
+                do_sweep, (thetas, lds), jax.random.split(kburn, burn_sweeps))
+
+        def block(carry, k):
+            th, ld = carry
+            (th, ld), _ = jax.lax.scan(
+                do_sweep, (th, ld), jax.random.split(k, ntransitions))
+            emit = jax.vmap(model.push)(th)
+            return (th, ld), emit
+
+        (thetas, lds), emits = jax.lax.scan(
+            block, (thetas, lds), jax.random.split(krun, blocks))
+        # [blocks, n, ...] -> [blocks*n, ...]
+        flat = tree_map(
+            lambda x: x.reshape((blocks * n,) + x.shape[2:]), emits)
+        return flat, valid
+
+    return run
+
+
+def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
+               discard_initial: int = 0, retry_sampling: int = 100,
+               key=0, kernel=mixture_one):
+    """Run AIS and return (pushed sample pytree with leading axis [ns],
+    valid_mask) — the array-level API under ``sample``."""
+    run = make_run(model, sampler, ns, ntransitions=ntransitions,
+                   discard_initial=discard_initial,
+                   retry_sampling=retry_sampling, kernel=kernel)
+    flat, valid = jax.jit(run)(as_key(key))
+    if not bool(jnp.all(valid)):
+        raise RuntimeError(
+            "Prior leads to infinite costs too often, tune the prior or "
+            "increase `retry_sampling`.")
+    return tree_map(lambda x: x[:ns], flat), valid
+
+
+def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
+           discard_initial: int = 0, retry_sampling: int = 100,
+           chains: int | None = None, key=0, progress: bool = False,
+           kernel=mixture_one):
+    """KissABC-style entry point: returns per-dimension ``Particles``
+    (unwrapped when one-dimensional), like bundle_samples
+    (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
+    (the MCMCThreads path, KissABC.jl:96-104)."""
+    del progress  # the reference's progress bar knob; logging TBD
+    if chains is None:
+        flat, _ = sample_raw(
+            model, sampler, ns, ntransitions=ntransitions,
+            discard_initial=discard_initial, retry_sampling=retry_sampling,
+            key=key, kernel=kernel)
+        return particles_from_tree(flat)
+
+    # multi-chain: a vmapped chain axis (the MCMCThreads analogue); the
+    # chain axis is shardable over a device mesh (parallel/chains.py).
+    key = as_key(key)
+    chain_keys = jax.random.split(key, chains)
+    run = make_run(model, sampler, ns, ntransitions=ntransitions,
+                   discard_initial=discard_initial,
+                   retry_sampling=retry_sampling, kernel=kernel)
+    flat, valid = jax.jit(jax.vmap(run))(chain_keys)
+    if not bool(jnp.all(valid)):
+        raise RuntimeError(
+            "Prior leads to infinite costs too often, tune the prior or "
+            "increase `retry_sampling`.")
+    # [C, blocks*n, ...]: truncate each chain to ns then chainsstack-concat
+    flat = tree_map(
+        lambda x: x[:, :ns].reshape((chains * ns,) + x.shape[2:]), flat)
+    return particles_from_tree(flat)

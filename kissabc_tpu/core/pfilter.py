@@ -1,0 +1,199 @@
+"""Quantile particle filter — reference ``pfilter`` (``src/smc.jl:275-340``).
+
+Repeatedly set eps to the q-quantile of costs and regenerate every particle
+with cost > eps by DE-proposing from the good set until the move efficiency
+``nbad/nreps`` drops below ``eff_tol``.
+
+TPU-native redesign: the reference's unbounded ``@goto resample`` rejection
+loop per bad particle (smc.jl:308-321) becomes a bounded masked
+``lax.while_loop``: each round, ALL still-unfixed bad particles propose in
+one batched kernel; the proposal count tally reproduces the reference's
+per-attempt ``localreps`` accounting (prior-gate failures count too,
+smc.jl:313-318). The good set is the pre-sweep snapshot, exactly as the
+reference's fixed ``idxok`` (smc.jl:301-302).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quantile import quantile
+from ..ops.tree import tfloat, tgather, tselect, tree_map
+from ..particles import Particles, particles_from_tree
+from ..utils.rng import as_key
+from .density import _adapt_cost
+
+_f32 = jnp.float32
+
+
+class PFilterResult(NamedTuple):
+    P: object
+    C: Particles
+    eps: float
+    iterations: int
+
+
+def _init_with_retry(prior, cost2, n, key, max_rounds=1000):
+    """Init with per-particle redraw until (logpdf, cost) are finite —
+    the reference's unbounded while at smc.jl:283-294, bounded here."""
+    vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+
+    def draw(k):
+        kd, kc = jax.random.split(k)
+        th = tfloat(prior.sample_tree(kd))
+        return th, kc
+
+    def draw_all(k):
+        ths, kcs = jax.vmap(draw)(jax.random.split(k, n))
+        lps = jnp.asarray(vlog(ths), _f32)
+        cs = jnp.asarray(
+            jax.vmap(lambda th, kk: cost2(prior.push_tree(th), kk))(ths, kcs),
+            _f32)
+        return ths, lps, cs
+
+    thetas, lps, cs = draw_all(key)
+    ok = jnp.isfinite(lps) & jnp.isfinite(cs)
+
+    def cond(c):
+        t, _, _, _, ok, _ = c
+        return (t < max_rounds) & ~jnp.all(ok)
+
+    def body(c):
+        t, th, lp, cx, ok, k = c
+        k, sub = jax.random.split(k)
+        nth, nlp, ncx = draw_all(sub)
+        th = tselect(ok, th, nth)
+        lp = jnp.where(ok, lp, nlp)
+        cx = jnp.where(ok, cx, ncx)
+        ok = jnp.isfinite(lp) & jnp.isfinite(cx)
+        return t + 1, th, lp, cx, ok, k
+
+    _, thetas, lps, cs, ok, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), thetas, lps, cs, ok, key))
+    return thetas, lps, cs, ok
+
+
+def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
+            epstol: float = -jnp.inf, max_iters: float = jnp.inf,
+            proposal_width: float = 0.75, inner_retry: int = 200,
+            verbose: bool = False, parallel: bool = True,
+            key=0) -> PFilterResult:
+    """Signature/defaults mirror the reference (smc.jl:275). ``inner_retry``
+    bounds the per-sweep rejection rounds (the reference's loop is
+    unbounded)."""
+    del parallel
+    d = prior.nparams
+    low_n = 4 * d
+    if N * q <= low_n:
+        N = math.ceil((low_n + 1) / q)
+    n = N
+    cost2 = _adapt_cost(cost)
+    max_outer = 100_000 if math.isinf(max_iters) else int(max_iters) + 1
+
+    vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+
+    def regen_round(key, thetas, lps, cs, good, order, active, eps):
+        """One masked rejection round for all still-active bad particles
+        (the body of the reference's @goto resample loop, smc.jl:308-326)."""
+        kb, kc, kd, kw, km, kcost = jax.random.split(key, 6)
+        m = jnp.sum(good)
+
+        def pick(k1, k2, k3):
+            # three distinct positions in [0, m), mapped through order
+            u1 = jax.random.randint(k1, (), 0, m, dtype=jnp.int32)
+            u2 = jax.random.randint(k2, (), 0, m - 1, dtype=jnp.int32)
+            u2 = u2 + (u2 >= u1)
+            u3 = jax.random.randint(k3, (), 0, m - 2, dtype=jnp.int32)
+            lo = jnp.minimum(u1, u2)
+            hi = jnp.maximum(u1, u2)
+            u3 = u3 + (u3 >= lo)
+            u3 = u3 + (u3 >= hi)
+            return order[u1], order[u2], order[u3]
+
+        bs, css, dss = jax.vmap(pick)(
+            jax.random.split(kb, n), jax.random.split(kc, n),
+            jax.random.split(kd, n))
+        w = jax.random.normal(kw, (n,), _f32) * proposal_width
+        tb = tgather(thetas, bs)
+        tc = tgather(thetas, css)
+        td = tgather(thetas, dss)
+        props = tree_map(
+            lambda xb, xc, xd: xb + (xd - xc)
+            * w.reshape((n,) + (1,) * (xb.ndim - 1)),
+            tb, tc, td)
+        lpp = jnp.asarray(vlog(props), _f32)
+        lu = -jax.random.exponential(km, (n,), _f32)
+        gate_prior = lu <= jnp.minimum(0.0, lpp - lps)
+        xp = jnp.asarray(vcost(props, jax.random.split(kcost, n)), _f32)
+        gate_cost = xp <= eps
+        accept = active & gate_prior & gate_cost
+        thetas = tselect(accept, props, thetas)
+        lps = jnp.where(accept, lpp, lps)
+        cs = jnp.where(accept, xp, cs)
+        nreps = jnp.sum(active)  # every attempt counts (smc.jl:313)
+        return thetas, lps, cs, accept, nreps
+
+    def outer_body(state):
+        key, thetas, lps, cs, it, _eff, _eps, done = state
+        key, ksweep = jax.random.split(key)
+        it = it + 1
+        eps = quantile(cs, q)
+        bad = cs > eps
+        good = ~bad
+        order = jnp.argsort(bad, stable=True)  # good-first positions
+        nbad = jnp.sum(bad)
+
+        def inner_cond(c):
+            t, active, *_ = c
+            return (t < inner_retry) & jnp.any(active)
+
+        def inner_body(c):
+            t, active, th, lp, cx, reps, k = c
+            k, sub = jax.random.split(k)
+            th, lp, cx, fixed, nreps = regen_round(
+                sub, th, lp, cx, good, order, active, eps)
+            return t + 1, active & ~fixed, th, lp, cx, reps + nreps, k
+
+        _, _, thetas, lps, cs, reps, _ = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.int32(0), bad, thetas, lps, cs, jnp.int32(0), ksweep))
+
+        eff = nbad.astype(_f32) / jnp.maximum(reps, 1).astype(_f32)
+        if verbose:
+            jax.debug.print("pfilter it={it} eps={eps} eff={eff}",
+                            it=it, eps=eps, eff=eff)
+        done = (eff < eff_tol) | (eps < epstol) | (it > max_iters)
+        return key, thetas, lps, cs, it, eff, eps, done
+
+    def outer_cond(state):
+        *_, it, _eff, _eps, done = state
+        return ~done & (it < max_outer)
+
+    def program(key):
+        kinit, kloop = jax.random.split(key)
+        thetas, lps, cs, ok = _init_with_retry(prior, cost2, n, kinit)
+        state = (kloop, thetas, lps, cs, jnp.int32(0),
+                 jnp.asarray(jnp.inf, _f32), jnp.asarray(jnp.inf, _f32),
+                 jnp.asarray(False))
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
+        _, thetas, lps, cs, it, _eff, eps, _ = state
+        pushed = jax.vmap(prior.push_tree)(thetas)
+        return pushed, cs, eps, it, ok
+
+    pushed, cs, eps, it, ok = jax.jit(program)(as_key(key))
+    if not bool(jnp.all(ok)):
+        raise RuntimeError(
+            "Prior leads to infinite costs too often; could not initialize "
+            "a finite population.")
+    return PFilterResult(
+        P=particles_from_tree(tree_map(np.asarray, pushed)),
+        C=Particles(np.asarray(cs)),
+        eps=float(eps),
+        iterations=int(it),
+    )

@@ -1,0 +1,206 @@
+"""Adaptive-epsilon SMC-ABC — the reference's flagship algorithm
+(``src/smc.jl:92-206``; Del Moral 2012 adaptive SMC with an
+affine-invariant-style rejuvenation move).
+
+TPU-native structure (SURVEY §3.3, §7.5): the entire adaptive loop is ONE
+jitted ``lax.while_loop``; each iteration is
+
+  1. adaptive threshold  eps <- type-7 quantile of alive costs (smc.jl:134)
+  2. alive-mask update with the boundary flag (smc.jl:136-141)
+  3. deterministic replication resampling when alpha*ESS <= N*min_r_ess
+     (smc.jl:145-153) — reproduced exactly; a proper systematic resampler
+     is available via ``resample='systematic'``
+  4. delayed-acceptance MCMC rejuvenation sweep against a snapshot of the
+     population, with the accept-count-accumulating retry loop
+     (smc.jl:156-193): Gaussian-scaled difference proposals for ALL alive
+     particles in one batched kernel, cheap prior gate, then the simulator
+     gate — on TPU the simulator runs masked-but-batched (lockstep SIMD
+     makes compaction pointless for jittable costs)
+  5. stall / epstol / acceptance stopping rule (smc.jl:194-198)
+
+The population is a struct-of-arrays float pytree on the walker axis, so
+the same program runs single-chip or sharded over a mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.moves import gaussian_diff_propose
+from ..ops.quantile import masked_quantile
+from ..ops.resampling import replicate_alive, systematic
+from ..ops.tree import tfloat, tgather, tselect, tree_map
+from ..particles import Particles, particles_from_tree
+from ..utils.rng import as_key
+from .density import _adapt_cost
+
+_f32 = jnp.float32
+
+
+class SMCResult(NamedTuple):
+    P: object          # Particles (or list of Particles) — alive posterior
+    C: np.ndarray      # final cost array (full population, smc.jl:205)
+    eps: float         # final threshold
+    iterations: int
+    ess: int
+
+
+def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
+                 epstol, r_epstol, min_r_ess, max_stretch, max_iters,
+                 resample, verbose):
+    """Build the jittable smc(key) -> final-state program."""
+    n = nparticles
+    d = prior.nparams
+    retry_n = 1 + mcmc_retrys
+    tol_count = mcmc_tol * n
+
+    vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+
+    def init(key):
+        kth, kc = jax.random.split(key)
+        thetas = jax.vmap(lambda k: tfloat(prior.sample_tree(k)))(
+            jax.random.split(kth, n))
+        xs = jnp.asarray(vcost(thetas, jax.random.split(kc, n)), _f32)
+        lps = jnp.asarray(vlogpdf(thetas), _f32)
+        return thetas, xs, lps
+
+    def mcmc_sweep(key, thetas, xs, lps, alive, eps, flag):
+        """One retry round of the rejuvenation sweep (smc.jl:159-191);
+        proposals all read the pre-sweep snapshot (smc.jl:160-167)."""
+        kp, kmh, kc = jax.random.split(key, 3)
+        props = gaussian_diff_propose(kp, thetas, d, max_stretch)
+        lprob = -jax.random.exponential(kmh, (n,), _f32)  # log U per walker
+        lpp = jnp.asarray(vlogpdf(props), _f32)
+        # gate 1 — prior-only MH (smc.jl:172-175); -inf lpp rejected
+        lm = jnp.minimum(lpp - lps, 0.0)
+        gate1 = alive & (lpp > -jnp.inf) & (lprob < lm)
+        # gate 2 — simulator (smc.jl:176-181); batched, masked afterward.
+        xp = jnp.asarray(vcost(props, jax.random.split(kc, n)), _f32)
+        gate2 = jnp.where(flag, xp <= eps, xp < eps)
+        commit = gate1 & gate2
+        thetas = tselect(commit, props, thetas)
+        xs = jnp.where(commit, xp, xs)
+        lps = jnp.where(commit, lpp, lps)
+        return thetas, xs, lps, jnp.sum(commit)
+
+    def body(state):
+        (key, thetas, xs, lps, alive, eps, it, _acc, done) = state
+        key, kres, kmc = jax.random.split(key, 3)
+        it = it + 1
+        eps_v = eps
+        eps = masked_quantile(xs, alive, alpha)
+        xmin = jnp.min(jnp.where(alive, xs, jnp.inf))
+        flag = ~(eps > xmin)
+        alive = jnp.where(flag, xs <= eps, xs < eps)
+        ess = jnp.sum(alive)
+
+        # Step 2 — resampling (smc.jl:145-153)
+        need = alpha * ess <= n * min_r_ess
+        if resample == "replicate":
+            ridx = replicate_alive(alive)
+        else:
+            ridx = systematic(kres, alive.astype(_f32))
+        idx = jnp.where(need, ridx, jnp.arange(n, dtype=jnp.int32))
+        thetas = tgather(thetas, idx)
+        xs = xs[idx]
+        lps = lps[idx]
+        alive = jnp.where(need, jnp.ones_like(alive), alive)
+        ess = jnp.where(need, n, ess)
+
+        if verbose:
+            jax.debug.print(
+                "smc it={it} eps={eps} ESS={ess}", it=it, eps=eps, ess=ess)
+
+        # Step 3 — MCMC with accept-accumulating retries (smc.jl:156-193)
+        def retry_cond(c):
+            r, acc, *_ = c
+            return (r < retry_n) & ((r == 0) | (acc < tol_count))
+
+        def retry_body(c):
+            r, acc, th, x_, lp_, k = c
+            k, sub = jax.random.split(k)
+            th, x_, lp_, got = mcmc_sweep(sub, th, x_, lp_, alive, eps, flag)
+            return r + 1, acc + got, th, x_, lp_, k
+
+        _, accepted, thetas, xs, lps, kmc = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (jnp.int32(0), jnp.int32(0), thetas, xs, lps, kmc))
+
+        stall = 2.0 * jnp.abs(eps_v - eps) < r_epstol * (
+            jnp.abs(eps_v) + jnp.abs(eps))
+        done = stall | (eps <= epstol) | (accepted < tol_count)
+        return (key, thetas, xs, lps, alive, eps, it, accepted, done)
+
+    def cond(state):
+        *_, it, _acc, done = state
+        return ~done & (it < max_iters)
+
+    def program(key):
+        kinit, kloop = jax.random.split(key)
+        thetas, xs, lps = init(kinit)
+        alive = jnp.ones((n,), bool)
+        state = (kloop, thetas, xs, lps, alive, jnp.asarray(jnp.inf, _f32),
+                 jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+        state = jax.lax.while_loop(cond, body, state)
+        (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
+        pushed = jax.vmap(prior.push_tree)(thetas)
+        return pushed, xs, lps, alive, eps, it
+
+    return program
+
+
+def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
+        mcmc_retrys: int = 0, mcmc_tol: float = 0.015, epstol: float = 0.0,
+        r_epstol: float | None = None, min_r_ess: float | None = None,
+        max_stretch: float = 2.0, max_iters: int = 10_000,
+        resample: str = "replicate", verbose: bool = False,
+        parallel: bool = True, key=0) -> SMCResult:
+    """Adaptive SMC-ABC. Signature and defaults mirror the reference
+    (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
+    ``parallel`` is accepted for API parity; execution is always the
+    batched TPU path. ``resample='systematic'`` swaps the reference's
+    deterministic replication (smc.jl:146-152) for low-variance systematic
+    resampling."""
+    if r_epstol is None:
+        r_epstol = (1 - alpha) ** 1.5 / 50.0
+    if min_r_ess is None:
+        min_r_ess = alpha ** 2
+    if min_r_ess <= 0:
+        raise ValueError("min_r_ess must be > 0.")
+    if mcmc_retrys < 0:
+        raise ValueError("mcmc_retrys must be >= 0.")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0.")
+    if r_epstol < 0:
+        raise ValueError("r_epstol must be >= 0")
+    if mcmc_tol < 0:
+        raise ValueError("mcmc_tol must be >= 0")
+    if max_stretch <= 1:
+        raise ValueError("max_stretch must be > 1")
+    min_np = math.ceil(3 * prior.nparams / min(alpha, min_r_ess))
+    if nparticles < min_np:
+        raise ValueError(f"nparticles must be >= {min_np}.")
+    del parallel
+
+    program = _smc_program(
+        prior, _adapt_cost(cost), nparticles=nparticles, alpha=alpha,
+        mcmc_retrys=mcmc_retrys, mcmc_tol=mcmc_tol, epstol=epstol,
+        r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
+        max_iters=max_iters, resample=resample, verbose=verbose)
+    pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
+
+    alive_np = np.asarray(alive)
+    pushed_alive = tree_map(lambda x: np.asarray(x)[alive_np], pushed)
+    return SMCResult(
+        P=particles_from_tree(pushed_alive),
+        C=np.asarray(xs),
+        eps=float(eps),
+        iterations=int(it),
+        ess=int(alive_np.sum()),
+    )

@@ -1,0 +1,193 @@
+"""Batched ensemble proposal kernels.
+
+The reference updates one walker at a time against the live ensemble with a
+4:2:1 mixture of stretch / differential-evolution / walk moves
+(``src/transition.jl``). Naively vmapping that breaks detailed balance
+(SURVEY §7 'hard parts'), so the AIS kernels here use the standard
+red/black (complementary half-ensemble) parallelization of Foreman-Mackey
+et al. 2013: the half being updated draws its partners exclusively from the
+*other* half, which keeps the move valid when applied to all walkers of the
+half simultaneously. Statistical parity with the reference is at the level
+of posterior moments, not trajectories.
+
+All kernels are shape-static, vmapped over the walkers of one half, and
+act on all-float struct-of-arrays pytrees (discrete marginals evolve in
+float, types.jl:27-32).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .tree import sample_distinct, tmap, tree_map
+
+_f32 = jnp.float32
+
+
+def cdf_g_inv(u, a):
+    """Inverse cdf of the stretch g-pdf, eq. 10 of Foreman-Mackey et al.
+    2013 (reference transition.jl:46)."""
+    sa = jnp.sqrt(a)
+    return (u * (sa - 1.0 / sa) + 1.0 / sa) ** 2
+
+
+def sample_g(key, a=3.0):
+    return cdf_g_inv(jax.random.uniform(key, (), _f32), a)
+
+
+def _noise_like(key, tree):
+    """Standard-normal noise with the same pytree structure/shape as one
+    particle (used by the DE move's elementwise jitter)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    noise = [jax.random.normal(k, jnp.shape(l), _f32)
+             for k, l in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, noise)
+
+
+# --------------------------------------------------------------------------
+# Single-walker kernels (vmapped by `propose_half`)
+# theta_i : pytree of one walker; comp: pytree with leading axis [Hc]
+# --------------------------------------------------------------------------
+
+def stretch_one(key, theta_i, comp, hc, d, a=3.0):
+    """Goodman–Weare stretch move (transition.jl:51-59): partner from the
+    complementary half, Z ~ g(a), proposal = comp[a] + Z*(theta_i-comp[a]),
+    log-Jacobian (d-1) log Z."""
+    kp, kz = jax.random.split(key)
+    j = jax.random.randint(kp, (), 0, hc, dtype=jnp.int32)
+    z = sample_g(kz, a)
+    part = tree_map(lambda x: x[j], comp)
+    prop = tmap(lambda pa, pi: pa + z * (pi - pa), part, theta_i)
+    return prop, (d - 1) * jnp.log(z)
+
+
+def de_one(key, theta_i, comp, hc, d):
+    """ter Braak differential evolution (transition.jl:2-22):
+    gamma = 2.38/sqrt(2d) * exp(0.1 N(0,1)), W = gamma*(theta_a - theta_b),
+    plus elementwise triangle-scaled jitter gamma/300 * (|a-b|+|i-b|+|a-i|)
+    * N(0,1); zero correction."""
+    ka, kb, kg, kt = jax.random.split(key, 4)
+    ia = jax.random.randint(ka, (), 0, hc, dtype=jnp.int32)
+    ib = sample_distinct(kb, hc, (ia,))
+    gamma = 2.38 / math.sqrt(2 * d) * jnp.exp(0.1 * jax.random.normal(kg, (), _f32))
+    ta = tree_map(lambda x: x[ia], comp)
+    tb = tree_map(lambda x: x[ib], comp)
+    noise = _noise_like(kt, theta_i)
+    def mk(xi, xa, xb, nz):
+        tri = jnp.abs(xa - xb) + jnp.abs(xi - xb) + jnp.abs(xa - xi)
+        return xi + gamma * (xa - xb) + gamma * tri / 300.0 * nz
+    prop = tree_map(mk, theta_i, ta, tb, noise)
+    return prop, jnp.asarray(0.0, _f32)
+
+
+def walk_one(key, theta_i, comp, hc, d):
+    """Goodman–Weare walk move over a 3-particle sub-ensemble
+    (transition.jl:24-43): centroid of three partners, W = sum_k N(0,1)_k *
+    (theta_k - centroid); zero correction."""
+    ka, kb, kc, kr = jax.random.split(key, 4)
+    ia = jax.random.randint(ka, (), 0, hc, dtype=jnp.int32)
+    ib = sample_distinct(kb, hc, (ia,))
+    ic = sample_distinct(kc, hc, (ia, ib))
+    r = jax.random.normal(kr, (3,), _f32)
+    ta = tree_map(lambda x: x[ia], comp)
+    tb = tree_map(lambda x: x[ib], comp)
+    tc = tree_map(lambda x: x[ic], comp)
+    def mk(xi, xa, xb, xc):
+        cen = (xa + xb + xc) / 3.0
+        w = r[0] * (xa - cen) + r[1] * (xb - cen) + r[2] * (xc - cen)
+        return xi + w
+    prop = tree_map(mk, theta_i, ta, tb, tc)
+    return prop, jnp.asarray(0.0, _f32)
+
+
+def mixture_one(key, theta_i, comp, hc, d):
+    """4:2:1 stretch/DE/walk mixture (transition.jl:61-65). All three
+    proposals are computed and one is selected — on TPU the three kernels
+    are a handful of fused VPU ops, far cheaper than divergent control
+    flow, and the expensive part (the simulator call) runs once on the
+    selected proposal."""
+    km, k1, k2, k3 = jax.random.split(key, 4)
+    # P(stretch)=4/7, P(de)=2/7, P(walk)=1/7  — rand over (1,1,1,1,2,2,3)
+    mid = jax.random.randint(km, (), 0, 7, dtype=jnp.int32)
+    p1, c1 = stretch_one(k1, theta_i, comp, hc, d)
+    p2, c2 = de_one(k2, theta_i, comp, hc, d)
+    p3, c3 = walk_one(k3, theta_i, comp, hc, d)
+    is_s = mid < 4
+    is_d = (mid >= 4) & (mid < 6)
+    prop = tree_map(
+        lambda a, b, c: jnp.where(is_s, a, jnp.where(is_d, b, c)), p1, p2, p3)
+    corr = jnp.where(is_s, c1, jnp.where(is_d, c2, c3))
+    return prop, corr
+
+
+def propose_half(key, half, comp, d, kernel=mixture_one):
+    """Propose for every walker of `half` (leaves [H, ...]) with partners
+    from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H])."""
+    h = jax.tree_util.tree_leaves(half)[0].shape[0]
+    hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
+    keys = jax.random.split(key, h)
+    def one(k, theta_i):
+        return kernel(k, theta_i, comp, hc, d)
+    return jax.vmap(one, in_axes=(0, 0))(keys, half)
+
+
+# --------------------------------------------------------------------------
+# SMC sweep move — full-ensemble snapshot semantics
+# --------------------------------------------------------------------------
+
+def gaussian_diff_propose(key, ens, d, max_stretch=2.0):
+    """The smc rejuvenation move (smc.jl:160-167): for every particle i,
+    two distinct partners a,b != i from the *snapshot* ensemble and
+    W = (theta_b - theta_a) * max_stretch * N(0,1) / sqrt(d); correction 0.
+    (The smc docstring calls it a stretch move; the code is this
+    Gaussian-scaled difference move — SURVEY §3.3.)
+
+    All proposals read the same snapshot, so the whole sweep is one
+    batched kernel — no red/black split needed.
+    """
+    n = jax.tree_util.tree_leaves(ens)[0].shape[0]
+    keys = jax.random.split(key, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def one(k, i, theta_i):
+        ka, kb, kw = jax.random.split(k, 3)
+        a = sample_distinct(ka, n, (i,))
+        b = sample_distinct(kb, n, (i, a))
+        w = max_stretch * jax.random.normal(kw, (), _f32) / math.sqrt(d)
+        ta = tree_map(lambda x: x[a], ens)
+        tb = tree_map(lambda x: x[b], ens)
+        return tree_map(lambda xi, xa, xb: xi + (xb - xa) * w,
+                        theta_i, ta, tb)
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(keys, idx, ens)
+
+
+def masked_index(key, mask, order=None):
+    """Uniform random index among the True entries of `mask` (static
+    shapes). Used for pfilter's draws from the good set and ABCDE's base
+    swap (smc.jl:309, smc.jl:390)."""
+    if order is None:
+        order = jnp.argsort(~mask, stable=True)
+    m = jnp.sum(mask)
+    u = jax.random.randint(key, (), 0, jnp.maximum(m, 1), dtype=jnp.int32)
+    return order[u]
+
+
+def masked_distinct(key, mask, k, order=None):
+    """k distinct uniform indices among True entries of `mask` (requires
+    sum(mask) >= k). Positions are drawn distinct in [0, m) and mapped
+    through the alive-first stable ordering."""
+    if order is None:
+        order = jnp.argsort(~mask, stable=True)
+    m = jnp.sum(mask)
+    keys = jax.random.split(key, k)
+    pos = []
+    for j in range(k):
+        pos.append(sample_distinct(keys[j], m, tuple(pos)) if pos
+                   else jax.random.randint(keys[j], (), 0, jnp.maximum(m, 1),
+                                           dtype=jnp.int32))
+    return tuple(order[p] for p in pos)

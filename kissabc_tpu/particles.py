@@ -1,0 +1,144 @@
+"""``Particles`` — the posterior-sample result type.
+
+Stands in for MonteCarloMeasurements.jl's ``Particles`` (the reference's
+output type, ``src/KissABC.jl:82-104``): a cloud of posterior draws with
+``mu ± sigma`` display, summary statistics, elementwise arithmetic /
+function propagation (``sim(res)`` in reference ``test/runtests.jl:84``
+pushes a whole posterior through the simulator), and the statistical
+``≈`` used throughout the reference tests (MonteCarloMeasurements defines
+``isapprox(a::Particles, b) = isapprox(mean(a), b, atol=2std(a))``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _as_np(x):
+    return np.asarray(x)
+
+
+class Particles:
+    """A 1-D cloud of samples for one scalar quantity."""
+
+    __array_priority__ = 100  # beat ndarray in mixed binary ops
+
+    def __init__(self, x):
+        x = _as_np(x).reshape(-1)
+        self.particles = x
+
+    # --- statistics -------------------------------------------------------
+    def mean(self):
+        return float(np.mean(self.particles))
+
+    def std(self):
+        return float(np.std(self.particles, ddof=1))
+
+    def median(self):
+        return float(np.median(self.particles))
+
+    def quantile(self, q):
+        return np.quantile(self.particles, q)
+
+    def __len__(self):
+        return self.particles.shape[0]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.particles
+        return a.astype(dtype) if dtype is not None else a
+
+    # --- display ----------------------------------------------------------
+    def __repr__(self):
+        return f"{self.mean():.4g} ± {self.std():.3g}"
+
+    # --- statistical approx (the reference tests' ``≈``) ------------------
+    def approx(self, other, nsig=2.0, atol=0.0):
+        """|mean(self) - mean(other)| <= nsig*std(self) + atol."""
+        if isinstance(other, Particles):
+            om = other.mean()
+        else:
+            om = float(other)
+        return abs(self.mean() - om) <= nsig * self.std() + atol
+
+    # --- elementwise algebra / function propagation -----------------------
+    def map(self, f):
+        """Push every particle through ``f`` (vectorized over the cloud)."""
+        return Particles(np.asarray(f(self.particles)))
+
+    def _binop(self, other, f):
+        if isinstance(other, Particles):
+            return Particles(f(self.particles, other.particles))
+        return Particles(f(self.particles, _as_np(other)))
+
+    def __add__(self, o):
+        return self._binop(o, np.add)
+
+    def __radd__(self, o):
+        return self._binop(o, np.add)
+
+    def __sub__(self, o):
+        return self._binop(o, np.subtract)
+
+    def __rsub__(self, o):
+        return self._binop(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._binop(o, np.multiply)
+
+    def __rmul__(self, o):
+        return self._binop(o, np.multiply)
+
+    def __truediv__(self, o):
+        return self._binop(o, np.divide)
+
+    def __rtruediv__(self, o):
+        return self._binop(o, lambda a, b: b / a)
+
+    def __pow__(self, o):
+        return self._binop(o, np.power)
+
+    def __neg__(self):
+        return Particles(-self.particles)
+
+    def __abs__(self):
+        return Particles(np.abs(self.particles))
+
+
+def particles_from_tree(tree_of_columns):
+    """Convert a posterior pytree (leaves shaped [n] or [n, d]) into the
+    reference's output convention: a list of per-dimension ``Particles``,
+    unwrapped when there is exactly one (KissABC.jl:90-93, smc.jl:202-204).
+    """
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree_of_columns)
+    cols = []
+    for leaf in leaves:
+        a = _as_np(leaf)
+        if a.ndim == 1:
+            cols.append(Particles(a))
+        else:
+            for j in range(a.shape[1]):
+                cols.append(Particles(a[:, j]))
+    if len(cols) == 1:
+        return cols[0]
+    return cols
+
+
+def chainsstack(chains):
+    """Concatenate per-chain results particle-wise (KissABC.jl:96-104)."""
+    first = chains[0]
+    if isinstance(first, Particles):
+        return Particles(np.concatenate([c.particles for c in chains]))
+    out = []
+    for i in range(len(first)):
+        out.append(Particles(np.concatenate([c[i].particles for c in chains])))
+    return out
+
+
+def pmap_apply(f, *ps):
+    """Apply an elementwise (numpy-vectorized) function to one or more
+    aligned Particles clouds — the function-propagation idiom of
+    MonteCarloMeasurements (`sim(res)`, reference runtests.jl:84,102)."""
+    arrays = [p.particles if isinstance(p, Particles) else _as_np(p)
+              for p in ps]
+    return Particles(np.asarray(f(*arrays)))
