@@ -123,15 +123,17 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
     return thetas, lds
 
 
-def make_sweep(model, n, kernel=mixture_one):
-    """One full red/black sweep over the ensemble; jit/vmap/scan-safe."""
+def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t):
+    """One full red/black sweep over the ensemble; jit/vmap/scan-safe.
+    ``constrain`` pins ensemble arrays to a mesh walker axis (identity on
+    a single chip)."""
     h = n // 2
 
     def sweep(key, thetas, lds):
         ka, kb = jax.random.split(key)
         thetas, lds = _half_update(model, ka, thetas, lds, 0, h, n, kernel)
         thetas, lds = _half_update(model, kb, thetas, lds, h, n, n, kernel)
-        return thetas, lds
+        return constrain(thetas), constrain(lds)
 
     return sweep
 
@@ -142,7 +144,7 @@ def make_sweep(model, n, kernel=mixture_one):
 
 def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
              discard_initial: int = 0, retry_sampling: int = 100,
-             kernel=mixture_one):
+             kernel=mixture_one, mesh=None):
     """Build the jittable end-to-end AIS program ``run(key) -> (samples
     [blocks*n, ...], valid [n])``. Shared by the single-chain driver, the
     vmapped multi-chain driver, and the benchmarks."""
@@ -151,7 +153,9 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         raise ValueError(
             f"nparticles = {n} is insufficient, set number of particles in "
             f"AIS(.) at least to {model.nparams + 5}")
-    sweep = make_sweep(model, n, kernel)
+    from ..parallel.mesh import constrainer
+    sweep = make_sweep(model, n, kernel,
+                       constrain=constrainer(mesh, "walker"))
 
     burn_sweeps = max(0, math.ceil(discard_initial * ntransitions / n))
     blocks = max(1, math.ceil(ns / n))
@@ -188,12 +192,12 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 
 def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                discard_initial: int = 0, retry_sampling: int = 100,
-               key=0, kernel=mixture_one):
+               key=0, kernel=mixture_one, mesh=None):
     """Run AIS and return (pushed sample pytree with leading axis [ns],
     valid_mask) — the array-level API under ``sample``."""
     run = make_run(model, sampler, ns, ntransitions=ntransitions,
                    discard_initial=discard_initial,
-                   retry_sampling=retry_sampling, kernel=kernel)
+                   retry_sampling=retry_sampling, kernel=kernel, mesh=mesh)
     flat, valid = jax.jit(run)(as_key(key))
     if not bool(jnp.all(valid)):
         raise RuntimeError(
@@ -205,7 +209,7 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
            discard_initial: int = 0, retry_sampling: int = 100,
            chains: int | None = None, key=0, progress: bool = False,
-           kernel=mixture_one):
+           kernel=mixture_one, mesh=None):
     """KissABC-style entry point: returns per-dimension ``Particles``
     (unwrapped when one-dimensional), like bundle_samples
     (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
@@ -215,17 +219,22 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         flat, _ = sample_raw(
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling,
-            key=key, kernel=kernel)
+            key=key, kernel=kernel, mesh=mesh)
         return particles_from_tree(flat)
 
-    # multi-chain: a vmapped chain axis (the MCMCThreads analogue); the
-    # chain axis is shardable over a device mesh (parallel/chains.py).
+    # multi-chain: a vmapped chain axis (the MCMCThreads analogue,
+    # KissABC.jl:9), shardable over a mesh `chain` axis.
     key = as_key(key)
     chain_keys = jax.random.split(key, chains)
     run = make_run(model, sampler, ns, ntransitions=ntransitions,
                    discard_initial=discard_initial,
                    retry_sampling=retry_sampling, kernel=kernel)
-    flat, valid = jax.jit(jax.vmap(run))(chain_keys)
+    vrun = jax.vmap(run)
+    if mesh is not None and "chain" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        chain_keys = jax.device_put(
+            chain_keys, NamedSharding(mesh, P("chain")))
+    flat, valid = jax.jit(vrun)(chain_keys)
     if not bool(jnp.all(valid)):
         raise RuntimeError(
             "Prior leads to infinite costs too often, tune the prior or "

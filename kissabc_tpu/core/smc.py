@@ -52,8 +52,10 @@ class SMCResult(NamedTuple):
 
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
-                 resample, verbose):
-    """Build the jittable smc(key) -> final-state program."""
+                 resample, verbose, constrain=lambda t: t):
+    """Build the jittable smc(key) -> final-state program. ``constrain``
+    pins population arrays to a mesh axis (parallel/mesh.py); identity on
+    a single chip."""
     n = nparticles
     d = prior.nparams
     retry_n = 1 + mcmc_retrys
@@ -66,9 +68,10 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         kth, kc = jax.random.split(key)
         thetas = jax.vmap(lambda k: tfloat(prior.sample_tree(k)))(
             jax.random.split(kth, n))
+        thetas = constrain(thetas)
         xs = jnp.asarray(vcost(thetas, jax.random.split(kc, n)), _f32)
         lps = jnp.asarray(vlogpdf(thetas), _f32)
-        return thetas, xs, lps
+        return thetas, constrain(xs), constrain(lps)
 
     def mcmc_sweep(key, thetas, xs, lps, alive, eps, flag):
         """One retry round of the rejuvenation sweep (smc.jl:159-191);
@@ -135,7 +138,9 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         stall = 2.0 * jnp.abs(eps_v - eps) < r_epstol * (
             jnp.abs(eps_v) + jnp.abs(eps))
         done = stall | (eps <= epstol) | (accepted < tol_count)
-        return (key, thetas, xs, lps, alive, eps, it, accepted, done)
+        thetas = constrain(thetas)
+        return (key, thetas, constrain(xs), constrain(lps),
+                constrain(alive), eps, it, accepted, done)
 
     def cond(state):
         *_, it, _acc, done = state
@@ -160,13 +165,15 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         r_epstol: float | None = None, min_r_ess: float | None = None,
         max_stretch: float = 2.0, max_iters: int = 10_000,
         resample: str = "replicate", verbose: bool = False,
-        parallel: bool = True, key=0) -> SMCResult:
+        parallel: bool = True, mesh=None, key=0) -> SMCResult:
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
     batched TPU path. ``resample='systematic'`` swaps the reference's
     deterministic replication (smc.jl:146-152) for low-variance systematic
-    resampling."""
+    resampling. ``mesh``: a ``jax.sharding.Mesh`` with a ``walker`` axis —
+    the population is sharded over it and XLA inserts the ICI collectives
+    (SURVEY §2b)."""
     if r_epstol is None:
         r_epstol = (1 - alpha) ** 1.5 / 50.0
     if min_r_ess is None:
@@ -188,11 +195,13 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         raise ValueError(f"nparticles must be >= {min_np}.")
     del parallel
 
+    from ..parallel.mesh import constrainer
     program = _smc_program(
         prior, _adapt_cost(cost), nparticles=nparticles, alpha=alpha,
         mcmc_retrys=mcmc_retrys, mcmc_tol=mcmc_tol, epstol=epstol,
         r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
-        max_iters=max_iters, resample=resample, verbose=verbose)
+        max_iters=max_iters, resample=resample, verbose=verbose,
+        constrain=constrainer(mesh, "walker"))
     pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
 
     alive_np = np.asarray(alive)

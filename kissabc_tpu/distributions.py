@@ -6,18 +6,20 @@ exactly: Uniform, Normal, Truncated(Normal), DiscreteUniform, Beta,
 NegativeBinomial, Exponential, Categorical, MultivariateNormal, Product,
 plus the package's own ``Factored`` mixed-support product prior
 (``src/priors.jl:10-49``). This module provides that support set as
-pytree-registered dataclasses with ``sample(key, shape)`` + ``logpdf(x)``
+pytree-registered classes with ``sample(key, shape)`` + ``logpdf(x)``
 (+ ``cdf``/``quantile`` where closed forms exist), a ``discrete`` flag
 driving the ``push_p`` dtype policy (``src/types.jl:27-32``), and the
 prior-tree protocol the samplers consume.
 
-Everything is traceable: distributions can be vmapped/jitted and their
-parameters may themselves be traced arrays.
-
-Parameterization notes (kept Distributions.jl-compatible):
-- ``Exponential(theta)`` is the *scale* (mean) parameterization.
-- ``NegativeBinomial(r, p)``: P(X=k) = C(k+r-1, k) p^r (1-p)^k.
-- ``Categorical(p)`` is 0-indexed here (Julia's is 1-indexed).
+Performance-critical design rule: distribution PARAMETERS live on the
+HOST (numpy scalars/arrays), and every derived constant (log-normalizers,
+cdf bounds, Cholesky factors) is precomputed in ``__init__`` with
+numpy/scipy. Traced methods therefore embed pure host constants — they
+never create device arrays at trace time, which would stall lowering with
+device->host readbacks (catastrophic over a tunneled TPU: a single
+constant readback can cost seconds) and would break under vmap-of-trace.
+Only the sampled/evaluated values are traced jnp math. Consequence:
+parameters must be static Python/numpy values, not tracers.
 """
 
 from __future__ import annotations
@@ -27,21 +29,28 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, gammaln, ndtr, ndtri
+import numpy as np
+from jax.scipy.special import gammaln, ndtr, ndtri
+from scipy import special as sps
 
-_f32 = jnp.float32
-_NEG_INF = -jnp.inf
+_f32 = np.float32
+_NEG_INF = -np.inf
+_LOG_2PI = math.log(2 * math.pi)
 
 
 def _register(cls, fields):
-    """Register a distribution class as a pytree with array fields."""
+    """Register a distribution class as a pytree (host-constant leaves)."""
     def flatten(d):
-        return tuple(getattr(d, f) for f in fields), None
+        # params are static host data: put everything in treedef so the
+        # object hashes as a jit-static constant
+        return (), tuple(getattr(d, f) for f in fields)
 
-    def unflatten(_, children):
+    def unflatten(aux, _):
         obj = object.__new__(cls)
-        for f, c in zip(fields, children):
+        for f, c in zip(fields, aux):
             object.__setattr__(obj, f, c)
+        if hasattr(cls, "_post_init"):
+            obj._post_init()
         return obj
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
@@ -56,7 +65,9 @@ def dist(*fields):
             named = dict(zip(fields, args))
             named.update(kwargs)
             for f in fields:
-                object.__setattr__(self, f, jnp.asarray(named[f], _f32))
+                object.__setattr__(self, f, _f32(named[f]))
+            if hasattr(self, "_post_init"):
+                self._post_init()
         if "__init__" not in cls.__dict__:
             cls.__init__ = __init__
 
@@ -98,7 +109,7 @@ class Distribution:
         (types.jl:31-32: continuous -> float, discrete -> round to Int)."""
         if self.discrete:
             return jnp.round(x).astype(jnp.int32)
-        return jnp.asarray(x, _f32)
+        return jnp.asarray(x, jnp.float32)
 
     def pdf(self, x):
         return jnp.exp(self.logpdf(x))
@@ -110,12 +121,15 @@ class Distribution:
 
 @dist("a", "b")
 class Uniform(Distribution):
+    def _post_init(self):
+        object.__setattr__(self, "_nll", _f32(np.log(self.b - self.a)))
+
     def sample(self, key, shape=()):
-        return jax.random.uniform(key, shape, _f32, self.a, self.b)
+        return jax.random.uniform(key, shape, jnp.float32, self.a, self.b)
 
     def logpdf(self, x):
         inside = (x >= self.a) & (x <= self.b)
-        return jnp.where(inside, -jnp.log(self.b - self.a), _NEG_INF)
+        return jnp.where(inside, -self._nll, _NEG_INF)
 
     def cdf(self, x):
         return jnp.clip((x - self.a) / (self.b - self.a), 0.0, 1.0)
@@ -126,12 +140,16 @@ class Uniform(Distribution):
 
 @dist("mu", "sigma")
 class Normal(Distribution):
+    def _post_init(self):
+        object.__setattr__(
+            self, "_lnorm", _f32(np.log(self.sigma) + 0.5 * _LOG_2PI))
+
     def sample(self, key, shape=()):
-        return self.mu + self.sigma * jax.random.normal(key, shape, _f32)
+        return self.mu + self.sigma * jax.random.normal(key, shape)
 
     def logpdf(self, x):
         z = (x - self.mu) / self.sigma
-        return -0.5 * z * z - jnp.log(self.sigma) - 0.5 * math.log(2 * math.pi)
+        return -0.5 * z * z - self._lnorm
 
     def cdf(self, x):
         return ndtr((x - self.mu) / self.sigma)
@@ -144,12 +162,14 @@ class Normal(Distribution):
 class Exponential(Distribution):
     """Scale parameterization: mean = theta (Distributions.jl convention)."""
 
+    def _post_init(self):
+        object.__setattr__(self, "_ltheta", _f32(np.log(self.theta)))
+
     def sample(self, key, shape=()):
-        return self.theta * jax.random.exponential(key, shape, _f32)
+        return self.theta * jax.random.exponential(key, shape)
 
     def logpdf(self, x):
-        ok = x >= 0
-        return jnp.where(ok, -x / self.theta - jnp.log(self.theta), _NEG_INF)
+        return jnp.where(x >= 0, -x / self.theta - self._ltheta, _NEG_INF)
 
     def cdf(self, x):
         return jnp.where(x >= 0, 1.0 - jnp.exp(-x / self.theta), 0.0)
@@ -160,15 +180,19 @@ class Exponential(Distribution):
 
 @dist("alpha", "beta")
 class Beta(Distribution):
+    def _post_init(self):
+        object.__setattr__(
+            self, "_lbeta", _f32(sps.betaln(self.alpha, self.beta)))
+
     def sample(self, key, shape=()):
-        return jax.random.beta(key, self.alpha, self.beta, shape, _f32)
+        return jax.random.beta(key, self.alpha, self.beta, shape)
 
     def logpdf(self, x):
         inside = (x >= 0) & (x <= 1)
         lx = jnp.where(inside, jnp.clip(x, 1e-37, 1.0), 0.5)
         l1x = jnp.where(inside, jnp.clip(1.0 - x, 1e-37, 1.0), 0.5)
         lp = ((self.alpha - 1) * jnp.log(lx) + (self.beta - 1) * jnp.log(l1x)
-              - betaln(self.alpha, self.beta))
+              - self._lbeta)
         return jnp.where(inside, lp, _NEG_INF)
 
 
@@ -176,60 +200,89 @@ class Beta(Distribution):
 class Gamma(Distribution):
     """Shape ``alpha``, scale ``theta``."""
 
+    def _post_init(self):
+        object.__setattr__(
+            self, "_lnorm",
+            _f32(sps.gammaln(self.alpha) + self.alpha * np.log(self.theta)))
+
     def sample(self, key, shape=()):
-        return self.theta * jax.random.gamma(key, self.alpha, shape, _f32)
+        return self.theta * jax.random.gamma(key, self.alpha, shape)
 
     def logpdf(self, x):
         ok = x > 0
         xs = jnp.where(ok, x, 1.0)
-        lp = ((self.alpha - 1) * jnp.log(xs) - xs / self.theta
-              - gammaln(self.alpha) - self.alpha * jnp.log(self.theta))
+        lp = (self.alpha - 1) * jnp.log(xs) - xs / self.theta - self._lnorm
         return jnp.where(ok, lp, _NEG_INF)
 
 
 @dist("mu", "sigma")
 class LogNormal(Distribution):
+    def _post_init(self):
+        object.__setattr__(
+            self, "_lnorm", _f32(np.log(self.sigma) + 0.5 * _LOG_2PI))
+
     def sample(self, key, shape=()):
-        return jnp.exp(self.mu + self.sigma * jax.random.normal(key, shape, _f32))
+        return jnp.exp(self.mu + self.sigma * jax.random.normal(key, shape))
 
     def logpdf(self, x):
         ok = x > 0
         xs = jnp.where(ok, x, 1.0)
         z = (jnp.log(xs) - self.mu) / self.sigma
-        lp = (-0.5 * z * z - jnp.log(xs) - jnp.log(self.sigma)
-              - 0.5 * math.log(2 * math.pi))
-        return jnp.where(ok, lp, _NEG_INF)
+        return jnp.where(ok, -0.5 * z * z - jnp.log(xs) - self._lnorm,
+                         _NEG_INF)
+
+
+def _host_cdf(base: Distribution, x: float) -> float:
+    """Host-side cdf for the truncation bounds — numpy/scipy only, so
+    ``Truncated.__init__`` never touches the device."""
+    x = float(x)
+    if isinstance(base, Normal):
+        return float(sps.ndtr((x - float(base.mu)) / float(base.sigma)))
+    if isinstance(base, Uniform):
+        return float(np.clip((x - base.a) / (base.b - base.a), 0.0, 1.0))
+    if isinstance(base, Exponential):
+        return float(-np.expm1(-max(x, 0.0) / base.theta))
+    if isinstance(base, LogNormal):
+        if x <= 0:
+            return 0.0
+        return float(sps.ndtr((np.log(x) - base.mu) / base.sigma))
+    if isinstance(base, Gamma):
+        return float(sps.gammainc(base.alpha, max(x, 0.0) / base.theta))
+    if isinstance(base, Beta):
+        return float(sps.betainc(base.alpha, base.beta,
+                                 min(max(x, 0.0), 1.0)))
+    raise TypeError(f"Truncated: no host cdf for {type(base).__name__}")
 
 
 class Truncated(Distribution):
-    """Truncation of a base distribution with ``cdf``/``quantile`` to
-    [lo, hi] — covers the reference's ``Truncated(Normal(0,0.05),0,100)``
-    usage (reference ``test/runtests.jl:288``)."""
+    """Truncation of a base distribution with a ``quantile`` to [lo, hi] —
+    covers the reference's ``Truncated(Normal(0,0.05),0,100)`` usage
+    (reference ``test/runtests.jl:288``). Normalization constants are
+    precomputed on the host."""
 
     def __init__(self, base, lo, hi):
         object.__setattr__(self, "base", base)
-        object.__setattr__(self, "lo", jnp.asarray(lo, _f32))
-        object.__setattr__(self, "hi", jnp.asarray(hi, _f32))
+        object.__setattr__(self, "lo", _f32(lo))
+        object.__setattr__(self, "hi", _f32(hi))
+        self._post_init()
 
-    @property
-    def _clo(self):
-        return self.base.cdf(self.lo)
-
-    @property
-    def _chi(self):
-        return self.base.cdf(self.hi)
+    def _post_init(self):
+        clo = _host_cdf(self.base, self.lo)
+        chi = _host_cdf(self.base, self.hi)
+        object.__setattr__(self, "_clo", _f32(clo))
+        object.__setattr__(self, "_chi", _f32(chi))
+        object.__setattr__(self, "_lz", _f32(np.log(chi - clo)))
 
     def sample(self, key, shape=()):
-        u = jax.random.uniform(key, shape, _f32, self._clo, self._chi)
+        u = jax.random.uniform(key, shape, jnp.float32, self._clo, self._chi)
         return jnp.clip(self.base.quantile(u), self.lo, self.hi)
 
     def logpdf(self, x):
         inside = (x >= self.lo) & (x <= self.hi)
-        lz = jnp.log(self._chi - self._clo)
-        return jnp.where(inside, self.base.logpdf(x) - lz, _NEG_INF)
+        return jnp.where(inside, self.base.logpdf(x) - self._lz, _NEG_INF)
 
     def cdf(self, x):
-        c = (self.base.cdf(jnp.clip(x, self.lo, self.hi)) - self._clo)
+        c = self.base.cdf(jnp.clip(x, self.lo, self.hi)) - self._clo
         return c / (self._chi - self._clo)
 
     def quantile(self, q):
@@ -255,17 +308,19 @@ class DiscreteUniform(Distribution):
     discrete = True
 
     def __init__(self, a=0, b=1):
-        object.__setattr__(self, "a", jnp.asarray(a, _f32))
-        object.__setattr__(self, "b", jnp.asarray(b, _f32))
+        object.__setattr__(self, "a", _f32(a))
+        object.__setattr__(self, "b", _f32(b))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(self, "_lpmf", _f32(np.log(self.b - self.a + 1)))
 
     def sample(self, key, shape=()):
-        return jax.random.randint(key, shape, self.a.astype(jnp.int32),
-                                  self.b.astype(jnp.int32) + 1)
+        return jax.random.randint(key, shape, int(self.a), int(self.b) + 1)
 
     def logpdf(self, x):
-        xf = jnp.asarray(x, _f32)
-        inside = (xf >= self.a) & (xf <= self.b)
-        return jnp.where(inside, -jnp.log(self.b - self.a + 1), _NEG_INF)
+        inside = (x >= self.a) & (x <= self.b)
+        return jnp.where(inside, -self._lpmf, _NEG_INF)
 
 
 @dist("r", "p")
@@ -276,17 +331,22 @@ class NegativeBinomial(Distribution):
 
     discrete = True
 
+    def _post_init(self):
+        object.__setattr__(self, "_lgr", _f32(sps.gammaln(self.r)))
+        object.__setattr__(self, "_rlp", _f32(self.r * np.log(self.p)))
+        object.__setattr__(self, "_l1p", _f32(np.log1p(-self.p)))
+
     def sample(self, key, shape=()):
         kg, kp = jax.random.split(key)
-        lam = jax.random.gamma(kg, self.r, shape, _f32) * (1 - self.p) / self.p
+        lam = jax.random.gamma(kg, self.r, shape) * (1 - self.p) / self.p
         return jax.random.poisson(kp, lam, shape)
 
     def logpdf(self, x):
-        xf = jnp.asarray(x, _f32)
+        xf = jnp.asarray(x, jnp.float32)
         ok = xf >= 0
         xs = jnp.where(ok, xf, 0.0)
-        lp = (gammaln(xs + self.r) - gammaln(self.r) - gammaln(xs + 1)
-              + self.r * jnp.log(self.p) + xs * jnp.log1p(-self.p))
+        lp = (gammaln(xs + self.r) - self._lgr - gammaln(xs + 1)
+              + self._rlp + xs * self._l1p)
         return jnp.where(ok, lp, _NEG_INF)
 
 
@@ -294,15 +354,18 @@ class NegativeBinomial(Distribution):
 class Poisson(Distribution):
     discrete = True
 
+    def _post_init(self):
+        object.__setattr__(self, "_llam", _f32(np.log(self.lam)))
+
     def sample(self, key, shape=()):
         return jax.random.poisson(key, self.lam, shape)
 
     def logpdf(self, x):
-        xf = jnp.asarray(x, _f32)
+        xf = jnp.asarray(x, jnp.float32)
         ok = xf >= 0
         xs = jnp.where(ok, xf, 0.0)
-        lp = xs * jnp.log(self.lam) - self.lam - gammaln(xs + 1)
-        return jnp.where(ok, lp, _NEG_INF)
+        return jnp.where(ok, xs * self._llam - self.lam - gammaln(xs + 1),
+                         _NEG_INF)
 
 
 class Categorical(Distribution):
@@ -312,22 +375,43 @@ class Categorical(Distribution):
     discrete = True
 
     def __init__(self, p):
-        object.__setattr__(self, "p", jnp.asarray(p, _f32))
+        object.__setattr__(self, "p", np.asarray(p, _f32))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(
+            self, "_logp",
+            np.log(np.clip(self.p, np.finfo(_f32).tiny, None)).astype(_f32))
 
     def sample(self, key, shape=()):
-        return jax.random.categorical(key, jnp.log(self.p), shape=shape)
+        return jax.random.categorical(key, self._logp, shape=shape)
 
     def logpdf(self, x):
-        xi = jnp.clip(jnp.asarray(x, jnp.int32), 0, self.p.shape[-1] - 1)
-        inside = (jnp.asarray(x, _f32) >= 0) & \
-                 (jnp.asarray(x, _f32) <= self.p.shape[-1] - 1)
-        return jnp.where(inside, jnp.log(self.p[xi]), _NEG_INF)
+        k = self.p.shape[-1]
+        xi = jnp.clip(jnp.asarray(x, jnp.int32), 0, k - 1)
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= 0) & (xf <= k - 1)
+        lp = jnp.take(self._logp, xi, axis=-1)
+        pos = jnp.take(self.p, xi, axis=-1) > 0
+        return jnp.where(inside & pos, lp, _NEG_INF)
 
     def __repr__(self):
         return f"Categorical(p={self.p})"
 
 
-_register(Categorical, ("p",))
+def _cat_flatten(d):
+    return (), (d.p.tobytes(), d.p.shape)
+
+
+def _cat_unflatten(aux, _):
+    obj = object.__new__(Categorical)
+    object.__setattr__(obj, "p",
+                       np.frombuffer(aux[0], dtype=_f32).reshape(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Categorical, _cat_flatten, _cat_unflatten)
 
 
 # --------------------------------------------------------------------------
@@ -338,23 +422,30 @@ class MvNormal(Distribution):
     """Multivariate normal. ``MvNormal(d, sigma)`` gives the zero-mean
     isotropic form used by the reference tests
     (``MultivariateNormal(4, 1.0)``, runtests.jl:186); otherwise pass a
-    mean vector and either a scalar sigma or a full covariance matrix."""
+    mean vector and either a scalar sigma or a full covariance matrix.
+    Cholesky/log-det are precomputed on the host."""
 
     event_dim = 1
 
     def __init__(self, mean_or_dim, sigma_or_cov=1.0):
         if isinstance(mean_or_dim, int):
-            mean = jnp.zeros((mean_or_dim,), _f32)
+            mean = np.zeros((mean_or_dim,), _f32)
         else:
-            mean = jnp.asarray(mean_or_dim, _f32)
-        cov = jnp.asarray(sigma_or_cov, _f32)
+            mean = np.asarray(mean_or_dim, _f32)
+        cov = np.asarray(sigma_or_cov, np.float64)
         if cov.ndim == 0:
-            cov = cov ** 2 * jnp.eye(mean.shape[0], dtype=_f32)
+            cov = cov ** 2 * np.eye(mean.shape[0])
         elif cov.ndim == 1:
-            cov = jnp.diag(cov ** 2)
+            cov = np.diag(cov ** 2)
         object.__setattr__(self, "mean", mean)
-        object.__setattr__(self, "cov", cov)
-        object.__setattr__(self, "chol", jnp.linalg.cholesky(cov))
+        object.__setattr__(self, "cov", cov.astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        chol = np.linalg.cholesky(np.asarray(self.cov, np.float64))
+        object.__setattr__(self, "chol", chol.astype(_f32))
+        object.__setattr__(
+            self, "_logdet", _f32(2.0 * np.sum(np.log(np.diag(chol)))))
 
     @property
     def nparams(self):
@@ -362,22 +453,37 @@ class MvNormal(Distribution):
 
     def sample(self, key, shape=()):
         d = self.mean.shape[0]
-        z = jax.random.normal(key, shape + (d,), _f32)
+        z = jax.random.normal(key, shape + (d,))
         return self.mean + z @ self.chol.T
 
     def logpdf(self, x):
         d = self.mean.shape[0]
         diff = x - self.mean
-        sol = jax.scipy.linalg.cho_solve((self.chol, True), diff[..., None])
-        maha = jnp.sum(diff * sol[..., 0], axis=-1)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.chol)))
-        return -0.5 * (maha + logdet + d * math.log(2 * math.pi))
+        sol = jax.scipy.linalg.solve_triangular(
+            self.chol, diff[..., None], lower=True)[..., 0]
+        maha = jnp.sum(sol * sol, axis=-1)
+        return -0.5 * (maha + self._logdet + d * _LOG_2PI)
 
     def __repr__(self):
         return f"MvNormal(d={self.mean.shape[0]})"
 
 
-_register(MvNormal, ("mean", "cov", "chol"))
+def _mvn_flatten(d):
+    return (), (d.mean.tobytes(), d.mean.shape, d.cov.tobytes())
+
+
+def _mvn_unflatten(aux, _):
+    obj = object.__new__(MvNormal)
+    mean = np.frombuffer(aux[0], dtype=_f32).reshape(aux[1])
+    n = mean.shape[0]
+    object.__setattr__(obj, "mean", mean)
+    object.__setattr__(obj, "cov",
+                       np.frombuffer(aux[2], dtype=_f32).reshape((n, n)))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(MvNormal, _mvn_flatten, _mvn_unflatten)
 MultivariateNormal = MvNormal
 
 
@@ -418,7 +524,17 @@ class Product(Distribution):
         return f"Product({list(self.dists)!r})"
 
 
-_register(Product, ("dists",))
+def _prod_flatten(d):
+    return (), d.dists
+
+
+def _prod_unflatten(aux, _):
+    obj = object.__new__(Product)
+    object.__setattr__(obj, "dists", tuple(aux))
+    return obj
+
+
+jax.tree_util.register_pytree_node(Product, _prod_flatten, _prod_unflatten)
 
 
 def IID(d: Distribution, n: int) -> Product:
@@ -483,7 +599,17 @@ class Factored(Distribution):
         return f"Factored{self.p!r}"
 
 
-_register(Factored, ("p",))
+def _fact_flatten(d):
+    return (), d.p
+
+
+def _fact_unflatten(aux, _):
+    obj = object.__new__(Factored)
+    object.__setattr__(obj, "p", tuple(aux))
+    return obj
+
+
+jax.tree_util.register_pytree_node(Factored, _fact_flatten, _fact_unflatten)
 
 
 __all__ = [

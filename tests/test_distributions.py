@@ -1,0 +1,168 @@
+"""Unit tests: distributions vs scipy closed forms (SURVEY §7 stage 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import kissabc_tpu as ka
+
+KEY = jax.random.key(42)
+N = 20_000
+
+
+def draws(dist, n=N, key=KEY):
+    return np.asarray(dist.sample(key, (n,)))
+
+
+def test_uniform():
+    d = ka.Uniform(-2.0, 3.0)
+    x = draws(d)
+    assert x.min() >= -2 and x.max() <= 3
+    assert abs(x.mean() - 0.5) < 0.05
+    assert np.isclose(float(d.logpdf(0.0)), st.uniform(-2, 5).logpdf(0.0), rtol=1e-4)
+    assert float(d.logpdf(4.0)) == -np.inf
+
+
+def test_normal():
+    d = ka.Normal(1.5, 0.7)
+    x = draws(d)
+    assert abs(x.mean() - 1.5) < 0.02
+    assert abs(x.std() - 0.7) < 0.02
+    xs = np.linspace(-2, 5, 7)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.norm(1.5, 0.7).logpdf(xs), rtol=1e-4)
+
+
+def test_exponential_scale_param():
+    d = ka.Exponential(2.5)  # Distributions.jl scale convention: mean 2.5
+    x = draws(d)
+    assert abs(x.mean() - 2.5) < 0.06
+    xs = np.array([0.1, 1.0, 5.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.expon(scale=2.5).logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-1.0)) == -np.inf
+
+
+def test_beta():
+    d = ka.Beta(15.0, 2.0)  # the socks prop_pairs prior (runtests.jl:51)
+    x = draws(d)
+    assert abs(x.mean() - 15 / 17) < 0.01
+    xs = np.array([0.3, 0.7, 0.95])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.beta(15, 2).logpdf(xs), rtol=2e-3, atol=1e-3)
+
+
+def test_gamma():
+    d = ka.Gamma(3.0, 2.0)
+    x = draws(d)
+    assert abs(x.mean() - 6.0) < 0.15
+    xs = np.array([1.0, 5.0, 12.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.gamma(3, scale=2).logpdf(xs), rtol=1e-4)
+
+
+def test_truncated_normal():
+    d = ka.TruncatedNormal(0.0, 0.05, 0.0, 100.0)  # runtests.jl:288 prior
+    x = draws(d)
+    ref = st.truncnorm(0.0, 100 / 0.05, loc=0, scale=0.05)
+    assert x.min() >= 0
+    assert abs(x.mean() - ref.mean()) < 0.002
+    xs = np.array([0.01, 0.05, 0.12])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-3)
+    assert float(d.logpdf(-0.01)) == -np.inf
+
+
+def test_discrete_uniform():
+    d = ka.DiscreteUniform(1, 10)
+    x = draws(d)
+    assert d.discrete
+    assert x.min() == 1 and x.max() == 10
+    assert abs(x.mean() - 5.5) < 0.1
+    assert np.isclose(float(d.logpdf(3)), -np.log(10), rtol=1e-4)
+    assert float(d.logpdf(11)) == -np.inf
+
+
+def test_negative_binomial():
+    # the socks prior (runtests.jl:46-50)
+    mu, sd = 30, 15
+    r = -mu**2 / (mu - sd**2)
+    p = r / (mu + r)
+    d = ka.NegativeBinomial(r, p)
+    assert d.discrete
+    x = draws(d)
+    ref = st.nbinom(r, p)
+    assert abs(x.mean() - ref.mean()) < 0.5
+    assert abs(x.std() - ref.std()) < 0.5
+    ks = np.arange(0, 80)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(ks)), ref.logpmf(ks), rtol=2e-3, atol=2e-3)
+
+
+def test_poisson():
+    d = ka.Poisson(4.0)
+    x = draws(d)
+    assert abs(x.mean() - 4.0) < 0.1
+    ks = np.arange(0, 15)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(ks)), st.poisson(4.0).logpmf(ks), rtol=1e-3, atol=1e-3)
+
+
+def test_categorical():
+    p = np.array([0.2, 0.5, 0.3])
+    d = ka.Categorical(p)
+    x = draws(d)
+    freqs = np.bincount(x, minlength=3) / len(x)
+    np.testing.assert_allclose(freqs, p, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(np.arange(3))), np.log(p), rtol=1e-4)
+    assert float(d.logpdf(3)) == -np.inf
+
+
+def test_mvnormal():
+    d = ka.MvNormal(4, 1.0)  # MultivariateNormal(4, 1.0), runtests.jl:186
+    assert d.nparams == 4
+    x = draws(d)
+    assert x.shape == (N, 4)
+    np.testing.assert_allclose(x.mean(axis=0), np.zeros(4), atol=0.03)
+    pt = np.array([0.5, -1.0, 0.0, 2.0])
+    np.testing.assert_allclose(
+        float(d.logpdf(pt)),
+        st.multivariate_normal(np.zeros(4), np.eye(4)).logpdf(pt), rtol=1e-4)
+
+
+def test_mvnormal_full_cov():
+    cov = np.array([[2.0, 0.5], [0.5, 1.0]])
+    d = ka.MvNormal(np.array([1.0, -1.0]), cov)
+    x = draws(d)
+    np.testing.assert_allclose(np.cov(x.T), cov, atol=0.05)
+    pt = np.array([0.0, 0.0])
+    np.testing.assert_allclose(
+        float(d.logpdf(pt)),
+        st.multivariate_normal([1, -1], cov).logpdf(pt), rtol=1e-4)
+
+
+def test_product():
+    d = ka.Product([ka.Normal(0, 1), ka.Normal(5, 2)])
+    x = draws(d)
+    assert x.shape == (N, 2)
+    assert abs(x[:, 1].mean() - 5) < 0.05
+    np.testing.assert_allclose(
+        float(d.logpdf(np.array([0.0, 5.0]))),
+        st.norm(0, 1).logpdf(0) + st.norm(5, 2).logpdf(5), rtol=1e-4)
+    with pytest.raises(ValueError):
+        ka.Product([ka.Normal(0, 1), ka.DiscreteUniform(0, 1)])
+
+
+def test_distributions_are_traceable():
+    d = ka.Beta(2.0, 3.0)
+
+    @jax.jit
+    def f(key):
+        return d.sample(key, (4,)), d.logpdf(0.5)
+
+    x, lp = f(KEY)
+    assert x.shape == (4,)
+    assert np.isfinite(float(lp))

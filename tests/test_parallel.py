@@ -1,0 +1,76 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8): the ensemble axes become mesh
+axes and the same programs must produce correct posteriors when sharded
+(SURVEY §2b / §5 'distributed communication backend')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kissabc_tpu as ka
+from kissabc_tpu.parallel.mesh import constrainer, make_mesh
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_make_mesh():
+    _require_devices(8)
+    m = make_mesh(chain=2, walker=4)
+    assert m.axis_names == ("chain", "walker")
+    assert m.devices.shape == (2, 4)
+
+
+def test_constrainer_identity_without_mesh():
+    c = constrainer(None, "walker")
+    x = jnp.ones((4,))
+    assert c(x) is x
+
+
+def test_smc_sharded_walkers():
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    res = ka.smc(pri, cost, nparticles=256, epstol=0.1, mesh=mesh, key=2)
+    assert res.P.approx(0.707, atol=0.05)
+
+
+def test_smc_sharded_matches_unsharded():
+    """Determinism across sharding layouts: per-particle keys are derived
+    from global indices, so the sharded run must equal the single-chip
+    run bitwise (SURVEY §5 race-detection note)."""
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    a = ka.smc(pri, cost, nparticles=128, epstol=0.1, key=3)
+    b = ka.smc(pri, cost, nparticles=128, epstol=0.1, mesh=mesh, key=3)
+    np.testing.assert_allclose(a.P.particles, b.P.particles, rtol=1e-5)
+    assert a.iterations == b.iterations
+
+
+def test_ais_sharded_walkers():
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    abc = ka.ApproxKernelizedPosterior(pri, cost, 0.001)
+    res = ka.sample(abc, ka.AIS(64), 256, discard_initial=512,
+                    mesh=mesh, key=4)
+    assert res.map(lambda m: m * m + 1).approx(1.5)
+
+
+def test_ais_chain_mesh():
+    _require_devices(8)
+    mesh = make_mesh(chain=8)
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    abc = ka.ApproxKernelizedPosterior(pri, cost, 0.001)
+    res = ka.sample(abc, ka.AIS(12), 50, chains=8, discard_initial=120,
+                    mesh=mesh, key=5)
+    assert len(res) == 8 * 50
+    assert res.map(lambda m: m * m + 1).approx(1.5)

@@ -1,0 +1,106 @@
+"""smc end-to-end tests against the reference oracles (SURVEY §6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kissabc_tpu as ka
+
+
+def test_readme_normal_model():
+    """The README Normal(mu,sigma) flagship model (README.md:70-84):
+    posterior must match mu=2.0+-0.0062, sigma=0.0401+-0.00081."""
+    pri = ka.Factored(ka.Uniform(1, 3), ka.TruncatedNormal(0, 0.05, 0, 100))
+
+    def cost(theta, key):
+        mu, sigma = theta
+        x = mu + sigma * jax.random.normal(key, (1000,))
+        d1 = jnp.mean(x) - 2.0
+        d2 = jnp.std(x) - 0.04
+        return jnp.hypot(d1, d2 * 50)
+
+    res = ka.smc(pri, cost, nparticles=200, key=1)
+    mu_p, sig_p = res.P
+    assert res.eps < 0.02
+    assert abs(mu_p.mean() - 2.0) < 0.02
+    assert abs(sig_p.mean() - 0.0401) < 0.004
+
+
+def test_dirac_delta_smc():
+    """smc(pri, cost, epstol=0.1).P ~= 0.707 (runtests.jl:85)."""
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    res = ka.smc(pri, cost, epstol=0.1, key=2)
+    assert res.P.approx(0.707, atol=0.05)
+
+
+def test_mixed_prior_smc():
+    """smc(Factored(Normal, DiscreteUniform)).P[2] ~= 5 (runtests.jl:113)."""
+    pri = ka.Factored(ka.Normal(1, 0.5), ka.DiscreteUniform(1, 10))
+
+    def cost(theta, key):
+        n, du = theta
+        sim = (n * n + du) * (n + jax.random.normal(key) * 0.01)
+        return jnp.abs(sim - 5.5)
+
+    res = ka.smc(pri, cost, key=3)
+    du_post = res.P[1]
+    assert du_post.approx(5, atol=1.0)
+    assert np.allclose(du_post.particles, np.round(du_post.particles))
+
+
+def test_banana_smc_parallel_and_inf_costs():
+    """SMC testset (runtests.jl:240-254): banana cost, plus the variant
+    whose cost is Inf half the time."""
+    pp = ka.Factored(ka.Normal(0, 5), ka.Normal(0, 5))
+
+    def cc(theta, key):
+        x, y = theta
+        k1, k2 = jax.random.split(key)
+        return (50 * (x + jax.random.normal(k1) * 0.01 - y ** 2) ** 2
+                + (y - 1 + jax.random.normal(k2) * 0.01) ** 2)
+
+    r = ka.smc(pp, cc, alpha=0.9, nparticles=500, epstol=0.01, key=4).P
+    assert r[0].approx(1, atol=0.1)
+    assert r[1].approx(1, atol=0.05)
+
+    def cc2(theta, key):
+        kc, kflip = jax.random.split(key)
+        base = cc(theta, kc)
+        return jnp.where(jax.random.bernoulli(kflip), jnp.inf, base)
+
+    r2 = ka.smc(pp, cc2, alpha=0.9, nparticles=1000, epstol=0.01, key=5).P
+    assert r2[0].approx(1, atol=0.1)
+    assert r2[1].approx(1, atol=0.05)
+
+
+def test_smc_knob_validation():
+    pri = ka.Normal(0, 1)
+    cost = lambda x: jnp.abs(x)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, alpha=0.0)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, min_r_ess=0.0)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, mcmc_retrys=-1)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, max_stretch=1.0)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, nparticles=2)
+
+
+def test_smc_systematic_resampling_variant():
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    res = ka.smc(pri, cost, epstol=0.1, resample="systematic", key=6)
+    assert res.P.approx(0.707, atol=0.05)
+
+
+def test_smc_deterministic_given_key():
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    a = ka.smc(pri, cost, epstol=0.1, key=7)
+    b = ka.smc(pri, cost, epstol=0.1, key=7)
+    np.testing.assert_array_equal(a.P.particles, b.P.particles)
+    assert a.eps == b.eps
