@@ -2,19 +2,20 @@
 """Benchmark harness.
 
 Headline metric (BASELINE.md target): particle-updates/s/chip, where one
-particle-update = one full MH rejuvenation step for one walker — mixture
-proposal (or SMC difference move) + prior logpdf + simulator cost + accept
-— on the README Normal(mu, sigma) flagship model (reference README.md:70-84,
-a 1000-draw Normal simulator per cost call).
+particle-update = one full MH rejuvenation step for one walker — proposal
++ prior logpdf + simulator cost + accept — on the README Normal(mu, sigma)
+flagship model (reference README.md:70-84, a 1000-draw Normal simulator
+per cost call, i.e. 1000 fresh normals per update).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 1e6 (the driver-set >=1e6 updates/s/chip target;
 the reference itself publishes no formal benchmarks — BASELINE.md).
 
-Extra rows (human-readable, stderr): smc epsilon-vs-wallclock to the
-reference's eps<=0.011113 on the same model, AIS sweep throughput, and
-posterior moment parity.
+Timing notes: on the tunneled axon backend ``block_until_ready`` can
+return before execution finishes, so every timed region ends with a
+scalar readback that forces completion. Sweeps are scanned on-device so
+dispatch latency is amortized.
 """
 
 import json
@@ -44,13 +45,12 @@ def flagship():
     return prior, cost
 
 
-def bench_smc_sweep(n=32768, iters=50):
-    """Throughput of the SMC rejuvenation sweep (the hot loop, smc.jl:
-    159-193): n walkers x iters sweeps of propose+logpdf+cost+accept."""
+def _sweep_bench(n, iters, cost_batched=None):
+    """updates/s of the scanned SMC rejuvenation sweep."""
     import __graft_entry__ as g
 
     prior, cost = flagship()
-    step = g._sweep_fn(prior, cost, n)
+    step = g._sweep_fn(prior, cost, n, cost_batched=cost_batched)
 
     def many(key, thetas, xs, lps, eps):
         def body(carry, k):
@@ -59,7 +59,7 @@ def bench_smc_sweep(n=32768, iters=50):
             return (th, x_, lp), acc
         (th, x_, lp), accs = jax.lax.scan(
             body, (thetas, xs, lps), jax.random.split(key, iters))
-        return th, x_, lp, jnp.sum(accs)
+        return jnp.sum(accs)
 
     key = jax.random.key(0)
     thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
@@ -70,29 +70,39 @@ def bench_smc_sweep(n=32768, iters=50):
     eps = jnp.asarray(0.5, jnp.float32)
 
     fn = jax.jit(many)
-    out = fn(key, thetas, xs, lps, eps)  # compile + warm
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
+    acc = float(fn(key, thetas, xs, lps, eps))  # compile + warm (forced)
     reps = 3
+    t0 = time.perf_counter()
     for r in range(reps):
-        out = fn(jax.random.fold_in(key, r), thetas, xs, lps, eps)
-    jax.block_until_ready(out)
+        acc = float(fn(jax.random.fold_in(key, r), thetas, xs, lps, eps))
     dt = (time.perf_counter() - t0) / reps
-    updates_per_s = n * iters / dt
-    return updates_per_s, dt
+    return n * iters / dt, acc / (n * iters)
+
+
+def bench_sweeps():
+    n, iters = 131072, 50
+    ups_xla, frac = _sweep_bench(n, iters)
+    log(f"sweep[XLA threefry cost]    n={n}: {ups_xla:,.0f} updates/s "
+        f"(accept {frac:.3f})")
+    ups_pl = 0.0
+    if jax.devices()[0].platform == "tpu":
+        from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
+        ups_pl, frac = _sweep_bench(
+            n, iters, cost_batched=make_flagship_cost_batched())
+        log(f"sweep[Pallas HW-PRNG cost]  n={n}: {ups_pl:,.0f} updates/s "
+            f"(accept {frac:.3f})")
+    return max(ups_xla, ups_pl)
 
 
 def bench_smc_to_reference_eps():
     """Wall-clock for full adaptive smc to reach the reference's README
-    tolerance (eps = 0.011113 with 100 particles, README.md:84). We run
-    the same defaults at 1000 particles."""
+    tolerance (eps <= 0.011113, README.md:84), 1000 particles."""
     import kissabc_tpu as ka
 
     prior, cost = flagship()
     t0 = time.perf_counter()
     res = ka.smc(prior, cost, nparticles=1000, epstol=0.011113, key=2)
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0  # smc() materializes results on host
     mu, sig = res.P
     return dt, res, (mu.mean(), mu.std(), sig.mean(), sig.std())
 
@@ -101,13 +111,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    ups, dt = bench_smc_sweep()
-    log(f"smc sweep: {ups:,.0f} particle-updates/s/chip ({dt*1e3:.1f} ms "
-        f"per 50-sweep batch of 32768 walkers)")
+    ups = bench_sweeps()
 
     dt_smc, res, (mum, mus, sm, ss) = bench_smc_to_reference_eps()
-    log(f"full smc to eps<=0.011113: {dt_smc:.2f}s wall, {res.iterations} "
-        f"iterations, final eps={res.eps:.5f}")
+    log(f"full smc to eps<=0.011113: {dt_smc:.2f}s wall (incl. compile), "
+        f"{res.iterations} iterations, final eps={res.eps:.5f}")
     log(f"posterior: mu={mum:.4f}±{mus:.4f} (ref 2.0±0.0062), "
         f"sigma={sm:.5f}±{ss:.5f} (ref 0.0401±0.00081)")
     parity = abs(mum - 2.0) < 0.05 and abs(sm - 0.0401) < 0.005

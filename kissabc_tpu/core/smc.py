@@ -52,17 +52,24 @@ class SMCResult(NamedTuple):
 
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
-                 resample, verbose, constrain=lambda t: t):
+                 resample, verbose, constrain=lambda t: t,
+                 cost_vectorized=False):
     """Build the jittable smc(key) -> final-state program. ``constrain``
     pins population arrays to a mesh axis (parallel/mesh.py); identity on
-    a single chip."""
+    a single chip. With ``cost_vectorized`` the user cost takes the whole
+    pushed population + keys[n] at once — the hook for batched/Pallas
+    fused simulators (ops/pallas_kernels.py)."""
     n = nparticles
     d = prior.nparams
     retry_n = 1 + mcmc_retrys
     tol_count = mcmc_tol * n
 
     vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
-    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+    if cost_vectorized:
+        vpush = jax.vmap(prior.push_tree)
+        vcost = lambda ths, ks: cost2(vpush(ths), ks)
+    else:
+        vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
 
     def init(key):
         kth, kc = jax.random.split(key)
@@ -165,7 +172,8 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         r_epstol: float | None = None, min_r_ess: float | None = None,
         max_stretch: float = 2.0, max_iters: int = 10_000,
         resample: str = "replicate", verbose: bool = False,
-        parallel: bool = True, mesh=None, key=0) -> SMCResult:
+        parallel: bool = True, mesh=None, cost_vectorized: bool = False,
+        key=0) -> SMCResult:
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
@@ -197,11 +205,13 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
 
     from ..parallel.mesh import constrainer
     program = _smc_program(
-        prior, _adapt_cost(cost), nparticles=nparticles, alpha=alpha,
+        prior, cost if cost_vectorized else _adapt_cost(cost),
+        nparticles=nparticles, alpha=alpha,
         mcmc_retrys=mcmc_retrys, mcmc_tol=mcmc_tol, epstol=epstol,
         r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
         max_iters=max_iters, resample=resample, verbose=verbose,
-        constrain=constrainer(mesh, "walker"))
+        constrain=constrainer(mesh, "walker"),
+        cost_vectorized=cost_vectorized)
     pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
 
     alive_np = np.asarray(alive)
