@@ -33,9 +33,11 @@ from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
 )
-from .core.ais import AIS, sample, sample_raw  # noqa: F401
-from .core.smc import smc  # noqa: F401
+from .core.ais import AIS, make_run, make_sweep, sample, sample_raw  # noqa: F401
+from .core.smc import smc, smc_stepped  # noqa: F401
 from .core.abcde import ABCDE  # noqa: F401
 from .core.pfilter import pfilter  # noqa: F401
+from .utils import checkpoint  # noqa: F401
+from .utils.logging import IterLog, trace  # noqa: F401
 
 __version__ = "0.1.0"

@@ -153,17 +153,24 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         *_, it, _acc, done = state
         return ~done & (it < max_iters)
 
-    def program(key):
+    def init_state(key):
         kinit, kloop = jax.random.split(key)
         thetas, xs, lps = init(kinit)
         alive = jnp.ones((n,), bool)
-        state = (kloop, thetas, xs, lps, alive, jnp.asarray(jnp.inf, _f32),
-                 jnp.int32(0), jnp.int32(0), jnp.asarray(False))
-        state = jax.lax.while_loop(cond, body, state)
+        return (kloop, thetas, xs, lps, alive, jnp.asarray(jnp.inf, _f32),
+                jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+
+    def program(key):
+        state = jax.lax.while_loop(cond, body, init_state(key))
         (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
         pushed = jax.vmap(prior.push_tree)(thetas)
         return pushed, xs, lps, alive, eps, it
 
+    # expose the pieces for host-stepped drivers (checkpoint/resume,
+    # per-iteration logging)
+    program.init_state = init_state
+    program.body = body
+    program.cond = cond
     return program
 
 
@@ -214,6 +221,71 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         cost_vectorized=cost_vectorized)
     pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
 
+    alive_np = np.asarray(alive)
+    pushed_alive = tree_map(lambda x: np.asarray(x)[alive_np], pushed)
+    return SMCResult(
+        P=particles_from_tree(pushed_alive),
+        C=np.asarray(xs),
+        eps=float(eps),
+        iterations=int(it),
+        ess=int(alive_np.sum()),
+    )
+
+
+def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
+                resume: bool = False, log=None, nparticles: int = 100,
+                alpha: float = 0.95, mcmc_retrys: int = 0,
+                mcmc_tol: float = 0.015, epstol: float = 0.0,
+                r_epstol: float | None = None, min_r_ess: float | None = None,
+                max_stretch: float = 2.0, max_iters: int = 10_000,
+                resample: str = "replicate", checkpoint_every: int = 10,
+                cost_vectorized: bool = False, key=0) -> SMCResult:
+    """Host-stepped smc: the same algorithm as ``smc`` but with the outer
+    adaptive loop driven from the host, enabling (a) per-iteration
+    structured logging via ``log`` (an ``utils.logging.IterLog``) and
+    (b) checkpoint/resume: state is persisted to ``checkpoint_path``
+    every ``checkpoint_every`` iterations and with ``resume=True`` a run
+    continues from the last saved state (useful for expensive
+    simulators; the reference has no such mechanism, SURVEY §5)."""
+    import os
+
+    from ..utils import checkpoint as ckpt
+    from ..utils.rng import as_key
+
+    if r_epstol is None:
+        r_epstol = (1 - alpha) ** 1.5 / 50.0
+    if min_r_ess is None:
+        min_r_ess = alpha ** 2
+
+    program = _smc_program(
+        prior, cost if cost_vectorized else _adapt_cost(cost),
+        nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
+        mcmc_tol=mcmc_tol, epstol=epstol, r_epstol=r_epstol,
+        min_r_ess=min_r_ess, max_stretch=max_stretch, max_iters=max_iters,
+        resample=resample, verbose=False,
+        cost_vectorized=cost_vectorized)
+
+    init_state = jax.jit(program.init_state)
+    body = jax.jit(program.body)
+
+    state = init_state(as_key(key))
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, _meta = ckpt.load(checkpoint_path, state)
+
+    while True:
+        done = bool(state[-1])
+        it = int(state[6])
+        if done or it >= max_iters:
+            break
+        state = body(state)
+        if log is not None:
+            log.emit(iteration=int(state[6]), eps=float(state[5]),
+                     ess=int(jnp.sum(state[4])), accepted=int(state[7]))
+        if checkpoint_path and int(state[6]) % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, state, {"iteration": int(state[6])})
+
+    (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
+    pushed = jax.vmap(prior.push_tree)(thetas)
     alive_np = np.asarray(alive)
     pushed_alive = tree_map(lambda x: np.asarray(x)[alive_np], pushed)
     return SMCResult(
