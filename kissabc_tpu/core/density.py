@@ -55,6 +55,11 @@ class Density:
     def nparams(self):
         raise NotImplementedError
 
+    def loglike_batch(self, pushed, keys):
+        """Batched loglike over a walker ensemble; overridden by models
+        with vectorized (fused/Pallas) simulators."""
+        return jax.vmap(self.loglike)(pushed, keys)
+
     def push(self, theta):
         """Generic densities don't snap dtypes (types.jl:27)."""
         return theta
@@ -74,12 +79,27 @@ class Density:
 
 class ApproxKernelizedPosterior(Density):
     """ABC density with Gaussian kernel 𝒩(0, eps): loglikelihood =
-    -(cost/eps)^2/2 when the prior is finite (types.jl:40-75)."""
+    -(cost/eps)^2/2 when the prior is finite (types.jl:40-75).
 
-    def __init__(self, prior, cost, target_average_cost):
+    ``cost_vectorized=True`` declares that ``cost(thetas_tree, keys[n])``
+    consumes a whole pushed batch at once — the hook for fused/Pallas
+    simulators (ops/pallas_kernels.py); the sampler then calls
+    ``loglike_batch`` instead of vmapping ``loglike``."""
+
+    def __init__(self, prior, cost, target_average_cost,
+                 cost_vectorized=False):
         self.prior = prior
-        self.cost = _adapt_cost(cost)
+        self.cost = cost if cost_vectorized else _adapt_cost(cost)
+        self.vectorized = cost_vectorized
         self.scale = float(target_average_cost)
+
+    def loglike_batch(self, pushed, keys):
+        if not self.vectorized:
+            return jax.vmap(self.loglike)(pushed, keys)
+        lp = jax.vmap(self.prior.logpdf_tree)(pushed)
+        c = self.cost(pushed, keys)
+        ll = jnp.where(_finite(lp), -0.5 * jnp.square(c / self.scale), lp)
+        return (jnp.asarray(lp, _f32), jnp.asarray(ll, _f32))
 
     @property
     def nparams(self):
@@ -111,10 +131,19 @@ class ApproxPosterior(Density):
     new_cost <= max(maxcost, old_cost) — the ``max`` lets early particles
     anneal in from cost > eps regions (types.jl:76-104)."""
 
-    def __init__(self, prior, cost, max_cost):
+    def __init__(self, prior, cost, max_cost, cost_vectorized=False):
         self.prior = prior
-        self.cost = _adapt_cost(cost)
+        self.cost = cost if cost_vectorized else _adapt_cost(cost)
+        self.vectorized = cost_vectorized
         self.maxcost = float(max_cost)
+
+    def loglike_batch(self, pushed, keys):
+        if not self.vectorized:
+            return jax.vmap(self.loglike)(pushed, keys)
+        lp = jax.vmap(self.prior.logpdf_tree)(pushed)
+        c = jnp.where(_finite(lp),
+                      jnp.asarray(self.cost(pushed, keys), _f32), -lp)
+        return (jnp.asarray(lp, _f32), jnp.asarray(c, _f32))
 
     @property
     def nparams(self):
