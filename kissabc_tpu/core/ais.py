@@ -104,7 +104,7 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
     props, corr = propose_half(kp, upd, comp, d, kernel=kernel)
     pushed = jax.vmap(model.push)(props)
     h = hi - lo
-    new_lds = model.loglike_batch(pushed, jax.random.split(kl, h))
+    new_lds = model.loglike_batch(pushed, kl)
     acc = jax.vmap(model.accept)(
         jax.random.split(ka, h), upd_lds, new_lds, corr)
     # the reference stores the raw float proposal, pushing only at

@@ -55,10 +55,13 @@ class Density:
     def nparams(self):
         raise NotImplementedError
 
-    def loglike_batch(self, pushed, keys):
-        """Batched loglike over a walker ensemble; overridden by models
-        with vectorized (fused/Pallas) simulators."""
-        return jax.vmap(self.loglike)(pushed, keys)
+    def loglike_batch(self, pushed, key):
+        """Batched loglike over a walker ensemble (single key: the
+        non-vectorized path splits it per walker; vectorized simulators
+        consume it whole). Overridden by models with vectorized
+        (fused/Pallas) simulators."""
+        h = jax.tree_util.tree_leaves(pushed)[0].shape[0]
+        return jax.vmap(self.loglike)(pushed, jax.random.split(key, h))
 
     def push(self, theta):
         """Generic densities don't snap dtypes (types.jl:27)."""
@@ -93,11 +96,11 @@ class ApproxKernelizedPosterior(Density):
         self.vectorized = cost_vectorized
         self.scale = float(target_average_cost)
 
-    def loglike_batch(self, pushed, keys):
+    def loglike_batch(self, pushed, key):
         if not self.vectorized:
-            return jax.vmap(self.loglike)(pushed, keys)
+            return Density.loglike_batch(self, pushed, key)
         lp = jax.vmap(self.prior.logpdf_tree)(pushed)
-        c = self.cost(pushed, keys)
+        c = self.cost(pushed, key)
         ll = jnp.where(_finite(lp), -0.5 * jnp.square(c / self.scale), lp)
         return (jnp.asarray(lp, _f32), jnp.asarray(ll, _f32))
 
@@ -137,12 +140,12 @@ class ApproxPosterior(Density):
         self.vectorized = cost_vectorized
         self.maxcost = float(max_cost)
 
-    def loglike_batch(self, pushed, keys):
+    def loglike_batch(self, pushed, key):
         if not self.vectorized:
-            return jax.vmap(self.loglike)(pushed, keys)
+            return Density.loglike_batch(self, pushed, key)
         lp = jax.vmap(self.prior.logpdf_tree)(pushed)
         c = jnp.where(_finite(lp),
-                      jnp.asarray(self.cost(pushed, keys), _f32), -lp)
+                      jnp.asarray(self.cost(pushed, key), _f32), -lp)
         return (jnp.asarray(lp, _f32), jnp.asarray(c, _f32))
 
     @property

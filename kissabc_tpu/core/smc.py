@@ -67,16 +67,17 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
     if cost_vectorized:
         vpush = jax.vmap(prior.push_tree)
-        vcost = lambda ths, ks: cost2(vpush(ths), ks)
+        batch_cost = lambda ths, key: cost2(vpush(ths), key)
     else:
-        vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        _vc = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        batch_cost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def init(key):
         kth, kc = jax.random.split(key)
         thetas = jax.vmap(lambda k: tfloat(prior.sample_tree(k)))(
             jax.random.split(kth, n))
         thetas = constrain(thetas)
-        xs = jnp.asarray(vcost(thetas, jax.random.split(kc, n)), _f32)
+        xs = jnp.asarray(batch_cost(thetas, kc), _f32)
         lps = jnp.asarray(vlogpdf(thetas), _f32)
         return thetas, constrain(xs), constrain(lps)
 
@@ -91,7 +92,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         lm = jnp.minimum(lpp - lps, 0.0)
         gate1 = alive & (lpp > -jnp.inf) & (lprob < lm)
         # gate 2 — simulator (smc.jl:176-181); batched, masked afterward.
-        xp = jnp.asarray(vcost(props, jax.random.split(kc, n)), _f32)
+        xp = jnp.asarray(batch_cost(props, kc), _f32)
         gate2 = jnp.where(flag, xp <= eps, xp < eps)
         commit = gate1 & gate2
         thetas = tselect(commit, props, thetas)

@@ -139,14 +139,14 @@ def make_flagship_cost_batched(ndraws: int = 1000, target_mu: float = 2.0,
                                sd_weight: float = 50.0, block: int = 256):
     """Batched flagship cost: (thetas_tree, keys[n]) -> costs[n].
 
-    Uses the Pallas hardware-PRNG kernel on TPU, and an interpret-mode...
-    no — a plain vmapped XLA threefry path off-TPU (interpret mode is far
-    too slow for real ensembles). Seed derives from the first key so runs
-    stay deterministic per (key,).
+    Uses the Pallas hardware-PRNG kernel on TPU; off-TPU it falls back
+    to the plain vmapped XLA threefry path (TPU interpret mode yields
+    zero PRNG bits, useless for statistics). Batched costs take ONE key
+    — the kernel derives its seed from it, the fallback splits it.
     """
     interpret = not _on_tpu()
 
-    def batched(thetas, keys):
+    def batched(thetas, key):
         mu, sigma = thetas
         if interpret:
             def one(th, k):
@@ -154,8 +154,9 @@ def make_flagship_cost_batched(ndraws: int = 1000, target_mu: float = 2.0,
                 d1 = jnp.mean(x) - target_mu
                 d2 = (jnp.std(x) - target_sd) * sd_weight
                 return jnp.hypot(d1, d2)
-            return jax.vmap(one)((mu, sigma), keys)
-        seed = jax.random.bits(keys[0], (), jnp.uint32)
+            return jax.vmap(one)((mu, sigma),
+                                 jax.random.split(key, mu.shape[0]))
+        seed = jax.random.bits(key, (), jnp.uint32)
         return normal_summary_cost(
             jnp.asarray(mu, jnp.float32), jnp.asarray(sigma, jnp.float32),
             seed, ndraws=ndraws, target_mu=target_mu, target_sd=target_sd,

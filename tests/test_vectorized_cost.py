@@ -13,7 +13,7 @@ def _scalar_cost(x, key):
     return jnp.abs(x * x + 1 - 1.5)
 
 
-def _batched_cost(xs, keys):
+def _batched_cost(xs, key):
     return jnp.abs(xs * xs + 1 - 1.5)
 
 
@@ -43,11 +43,11 @@ def test_ais_vectorized_hard_threshold():
 
 
 def test_stochastic_batched_cost():
-    """Batched costs receive per-walker keys."""
+    """Batched costs receive one key and manage their own draws."""
     pri = ka.Uniform(-10, 10)
 
-    def bcost(xs, keys):
-        noise = jax.vmap(lambda k: jax.random.normal(k))(keys)
+    def bcost(xs, key):
+        noise = jax.random.normal(key, xs.shape)
         return jnp.abs(xs + 0.1 * noise)
 
     res = ka.smc(pri, bcost, epstol=0.2, cost_vectorized=True, key=8)
