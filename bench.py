@@ -70,8 +70,11 @@ def _sweep_bench(n, iters, cost_batched=None):
     eps = jnp.asarray(0.5, jnp.float32)
 
     fn = jax.jit(many)
-    acc = float(fn(key, thetas, xs, lps, eps))  # compile + warm (forced)
-    reps = 3
+    # two forced warmups: the first post-compile invocation on the axon
+    # runtime carries one-time overhead that pollutes timing
+    acc = float(fn(key, thetas, xs, lps, eps))
+    acc = float(fn(jax.random.fold_in(key, 99), thetas, xs, lps, eps))
+    reps = 5
     t0 = time.perf_counter()
     for r in range(reps):
         acc = float(fn(jax.random.fold_in(key, r), thetas, xs, lps, eps))

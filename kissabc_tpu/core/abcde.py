@@ -45,18 +45,25 @@ class ABCDEResult(NamedTuple):
 def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
           generations: int = 20, alpha: float = 0.0, earlystop: bool = False,
           verbose: bool = True, proposal_width: float = 1.0,
-          parallel: bool = True, key=0) -> ABCDEResult:
-    """Signature/defaults mirror the reference (smc.jl:347)."""
+          parallel: bool = True, cost_vectorized: bool = False,
+          key=0) -> ABCDEResult:
+    """Signature/defaults mirror the reference (smc.jl:347).
+    ``cost_vectorized``: cost takes (pushed_batch, key)."""
     if not (0 <= alpha < 1):
         raise ValueError("alpha must be in 0 <= alpha < 1.")
     del parallel
     n = nparticles
     d = prior.nparams
     gamma = proposal_width * 2.38 / math.sqrt(2 * d)
-    cost2 = _adapt_cost(cost)
+    cost2 = cost if cost_vectorized else _adapt_cost(cost)
 
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
-    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+    if cost_vectorized:
+        _vpush = jax.vmap(prior.push_tree)
+        vcost = lambda ths, key: cost2(_vpush(ths), key)
+    else:
+        _vc = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        vcost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def generation(key, thetas, lps, ds, nsims):
         kb, ka2, kb2, kg, km, kc = jax.random.split(key, 6)
@@ -109,7 +116,7 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         lu = -jax.random.exponential(km, (n,), _f32)
         gate_prior = active & (lu <= jnp.minimum(0.0, lpp - lps))
         nsims = nsims + gate_prior.astype(jnp.int32)  # smc.jl:404 tally
-        dp = jnp.asarray(vcost(props, jax.random.split(kc, n)), _f32)
+        dp = jnp.asarray(vcost(props, kc), _f32)
         commit = gate_prior & (dp <= jnp.maximum(eps_i, ds))
         # double buffer: reads above used the old population; writes land
         # in the new one (smc.jl:373-375,412-414)
@@ -138,7 +145,8 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
 
     def program(key):
         kinit, kloop = jax.random.split(key)
-        thetas, lps, ds, ok = _init_with_retry(prior, cost2, n, kinit)
+        thetas, lps, ds, ok = _init_with_retry(
+            prior, cost2, n, kinit, cost_vectorized=cost_vectorized)
         state = (kloop, thetas, lps, ds, jnp.zeros((n,), jnp.int32),
                  jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)

@@ -38,23 +38,23 @@ class PFilterResult(NamedTuple):
     iterations: int
 
 
-def _init_with_retry(prior, cost2, n, key, max_rounds=1000):
+def _init_with_retry(prior, cost2, n, key, max_rounds=1000,
+                     cost_vectorized=False):
     """Init with per-particle redraw until (logpdf, cost) are finite —
     the reference's unbounded while at smc.jl:283-294, bounded here."""
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
 
-    def draw(k):
-        kd, kc = jax.random.split(k)
-        th = tfloat(prior.sample_tree(kd))
-        return th, kc
-
     def draw_all(k):
-        ths, kcs = jax.vmap(draw)(jax.random.split(k, n))
+        kd, kc = jax.random.split(k)
+        ths = jax.vmap(lambda kk: tfloat(prior.sample_tree(kk)))(
+            jax.random.split(kd, n))
         lps = jnp.asarray(vlog(ths), _f32)
-        cs = jnp.asarray(
-            jax.vmap(lambda th, kk: cost2(prior.push_tree(th), kk))(ths, kcs),
-            _f32)
-        return ths, lps, cs
+        if cost_vectorized:
+            cs = cost2(jax.vmap(prior.push_tree)(ths), kc)
+        else:
+            cs = jax.vmap(lambda th, kk: cost2(prior.push_tree(th), kk))(
+                ths, jax.random.split(kc, n))
+        return ths, lps, jnp.asarray(cs, _f32)
 
     thetas, lps, cs = draw_all(key)
     ok = jnp.isfinite(lps) & jnp.isfinite(cs)
@@ -82,21 +82,26 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             epstol: float = -jnp.inf, max_iters: float = jnp.inf,
             proposal_width: float = 0.75, inner_retry: int = 200,
             verbose: bool = False, parallel: bool = True,
-            key=0) -> PFilterResult:
+            cost_vectorized: bool = False, key=0) -> PFilterResult:
     """Signature/defaults mirror the reference (smc.jl:275). ``inner_retry``
     bounds the per-sweep rejection rounds (the reference's loop is
-    unbounded)."""
+    unbounded). ``cost_vectorized``: cost takes (pushed_batch, key)."""
     del parallel
     d = prior.nparams
     low_n = 4 * d
     if N * q <= low_n:
         N = math.ceil((low_n + 1) / q)
     n = N
-    cost2 = _adapt_cost(cost)
+    cost2 = cost if cost_vectorized else _adapt_cost(cost)
     max_outer = 100_000 if math.isinf(max_iters) else int(max_iters) + 1
 
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
-    vcost = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+    if cost_vectorized:
+        _vpush = jax.vmap(prior.push_tree)
+        vcost = lambda ths, key: cost2(_vpush(ths), key)
+    else:
+        _vc = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        vcost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def regen_round(key, thetas, lps, cs, good, order, active, eps):
         """One masked rejection round for all still-active bad particles
@@ -130,7 +135,7 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
         lpp = jnp.asarray(vlog(props), _f32)
         lu = -jax.random.exponential(km, (n,), _f32)
         gate_prior = lu <= jnp.minimum(0.0, lpp - lps)
-        xp = jnp.asarray(vcost(props, jax.random.split(kcost, n)), _f32)
+        xp = jnp.asarray(vcost(props, kcost), _f32)
         gate_cost = xp <= eps
         accept = active & gate_prior & gate_cost
         thetas = tselect(accept, props, thetas)
@@ -177,7 +182,8 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
 
     def program(key):
         kinit, kloop = jax.random.split(key)
-        thetas, lps, cs, ok = _init_with_retry(prior, cost2, n, kinit)
+        thetas, lps, cs, ok = _init_with_retry(
+            prior, cost2, n, kinit, cost_vectorized=cost_vectorized)
         state = (kloop, thetas, lps, cs, jnp.int32(0),
                  jnp.asarray(jnp.inf, _f32), jnp.asarray(jnp.inf, _f32),
                  jnp.asarray(False))

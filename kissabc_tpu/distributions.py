@@ -34,7 +34,9 @@ from jax.scipy.special import gammaln, ndtr, ndtri
 from scipy import special as sps
 
 _f32 = np.float32
-_NEG_INF = -np.inf
+# strongly-typed: mixing a weak python-float -inf into jnp.where alongside
+# np.float32 branches triggers a ~10x slower XLA lowering on TPU
+_NEG_INF = np.float32(-np.inf)
 _LOG_2PI = math.log(2 * math.pi)
 
 

@@ -147,23 +147,30 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0):
     Gaussian-scaled difference move — SURVEY §3.3.)
 
     All proposals read the same snapshot, so the whole sweep is one
-    batched kernel — no red/black split needed.
+    batched kernel — and all randomness comes from THREE batched draws
+    (no per-walker key splitting: vmapped splits cost ~n threefry hashes
+    each and dominated the sweep at large n). Distinctness a != i,
+    b != {i, a} uses the sorted-exclude bump arithmetic of
+    ``sample_distinct``, vectorized per lane.
     """
+    import numpy as np
     n = jax.tree_util.tree_leaves(ens)[0].shape[0]
-    keys = jax.random.split(key, n)
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    def one(k, i, theta_i):
-        ka, kb, kw = jax.random.split(k, 3)
-        a = sample_distinct(ka, n, (i,))
-        b = sample_distinct(kb, n, (i, a))
-        w = max_stretch * jax.random.normal(kw, (), _f32) / math.sqrt(d)
-        ta = tree_map(lambda x: x[a], ens)
-        tb = tree_map(lambda x: x[b], ens)
-        return tree_map(lambda xi, xa, xb: xi + (xb - xa) * w,
-                        theta_i, ta, tb)
-
-    return jax.vmap(one, in_axes=(0, 0, 0))(keys, idx, ens)
+    ka, kb, kw = jax.random.split(key, 3)
+    i = np.arange(n, dtype=np.int32)
+    a = jax.random.randint(ka, (n,), 0, n - 1, dtype=jnp.int32)
+    a = a + (a >= i)
+    b = jax.random.randint(kb, (n,), 0, n - 2, dtype=jnp.int32)
+    lo = jnp.minimum(a, i)
+    hi = jnp.maximum(a, i)
+    b = b + (b >= lo)
+    b = b + (b >= hi)
+    w = max_stretch * jax.random.normal(kw, (n,), _f32) / math.sqrt(d)
+    ta = tree_map(lambda x: x[a], ens)
+    tb = tree_map(lambda x: x[b], ens)
+    return tree_map(
+        lambda xi, xa, xb: xi + (xb - xa)
+        * w.reshape((n,) + (1,) * (xi.ndim - 1)),
+        ens, ta, tb)
 
 
 def masked_index(key, mask, order=None):
