@@ -97,6 +97,44 @@ def bench_sweeps():
     return max(ups_xla, ups_pl)
 
 
+def bench_ais_sweep(n=131072, iters=50):
+    """walker-updates/s of the AIS red/black mixture sweep (the second
+    headline algorithm) with the Pallas simulator."""
+    import kissabc_tpu as ka
+    from kissabc_tpu.core.ais import make_sweep
+    from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
+
+    prior, cost = flagship()
+    if jax.devices()[0].platform == "tpu":
+        model = ka.ApproxKernelizedPosterior(
+            prior, make_flagship_cost_batched(), 0.005,
+            cost_vectorized=True)
+    else:
+        model = ka.ApproxKernelizedPosterior(prior, cost, 0.005)
+    sweep = make_sweep(model, n)
+
+    @jax.jit
+    def many(key, thetas, lds):
+        def body(c, k):
+            th, ld = c
+            return sweep(k, th, ld), None
+        (th, ld), _ = jax.lax.scan(
+            body, (thetas, lds), jax.random.split(key, iters))
+        return jnp.sum(ld[0])
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+    lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                              jax.random.fold_in(key, 1))
+    float(many(key, thetas, lds))
+    float(many(jax.random.fold_in(key, 99), thetas, lds))
+    t0 = time.perf_counter()
+    for r in range(5):
+        float(many(jax.random.fold_in(key, r), thetas, lds))
+    dt = (time.perf_counter() - t0) / 5
+    return n * iters / dt
+
+
 def bench_ais_wallclock():
     """The reference README's only wall-clock claim: AIS(10), 1000
     samples, ntransitions=100 on the Normal model runs in 0:00:02
@@ -167,6 +205,10 @@ def main():
     log(f"device: {dev}")
 
     ups = bench_sweeps()
+
+    ais_ups = bench_ais_sweep()
+    log(f"AIS red/black mixture sweep n=131072: {ais_ups:,.0f} "
+        f"walker-updates/s")
 
     dt_c, dt_ais, (am, asd, sm2, ssd2) = bench_ais_wallclock()
     log(f"AIS(10) x1000 samples x100 transitions: {dt_ais:.2f}s execution "

@@ -105,8 +105,7 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
     pushed = jax.vmap(model.push)(props)
     h = hi - lo
     new_lds = model.loglike_batch(pushed, kl)
-    acc = jax.vmap(model.accept)(
-        jax.random.split(ka, h), upd_lds, new_lds, corr)
+    acc = model.accept_batch(ka, upd_lds, new_lds, corr)
     # the reference stores the raw float proposal, pushing only at
     # loglike/emission time (transition.jl:77)
     upd = tselect(acc, props, upd)

@@ -63,6 +63,22 @@ class Density:
         h = jax.tree_util.tree_leaves(pushed)[0].shape[0]
         return jax.vmap(self.loglike)(pushed, jax.random.split(key, h))
 
+    def accept_batch(self, key, old_lds, new_lds, corr):
+        """Batched MH accept over [h] walkers from ONE key — every accept
+        rule needs exactly one log-uniform per walker, so this is a
+        single batched draw instead of h key splits."""
+        h = corr.shape[0]
+        lu = -jax.random.exponential(key, (h,), _f32)
+        return jax.vmap(self.accept_lu)(lu, old_lds, new_lds, corr)
+
+    def accept_lu(self, lu, old_ld, new_ld, corr):
+        """accept with the log-uniform draw supplied (pure, batched-safe).
+        Concrete models implement this; ``accept`` wraps it."""
+        raise NotImplementedError
+
+    def accept(self, key, old_ld, new_ld, corr):
+        return self.accept_lu(log_uniform(key), old_ld, new_ld, corr)
+
     def push(self, theta):
         """Generic densities don't snap dtypes (types.jl:27)."""
         return theta
@@ -123,10 +139,10 @@ class ApproxKernelizedPosterior(Density):
     def ld_valid(self, ld):
         return _finite(ld[0] + ld[1])
 
-    def accept(self, key, old_ld, new_ld, corr):
+    def accept_lu(self, lu, old_ld, new_ld, corr):
         lw = corr + (new_ld[0] + new_ld[1]) - (old_ld[0] + old_ld[1])
         lw = jnp.where(self.ld_valid(new_ld), lw, -jnp.inf)
-        return log_uniform(key) <= lw
+        return lu <= lw
 
 
 class ApproxPosterior(Density):
@@ -168,11 +184,11 @@ class ApproxPosterior(Density):
     def ld_valid(self, ld):
         return _finite(ld[0]) & _finite(ld[1])
 
-    def accept(self, key, old_ld, new_ld, corr):
+    def accept_lu(self, lu, old_ld, new_ld, corr):
         lw = corr + new_ld[0] - old_ld[0]
         lw = jnp.where(self.ld_valid(new_ld), lw, -jnp.inf)
         gate_cost = jnp.maximum(self.maxcost, old_ld[1]) - new_ld[1] >= 0
-        return (log_uniform(key) <= lw) & gate_cost
+        return (lu <= lw) & gate_cost
 
 
 class CommonLogDensity(Density):
@@ -198,7 +214,7 @@ class CommonLogDensity(Density):
     def ld_valid(self, ld):
         return _finite(ld)
 
-    def accept(self, key, old_ld, new_ld, corr):
+    def accept_lu(self, lu, old_ld, new_ld, corr):
         lw = corr + new_ld - old_ld
         lw = jnp.where(self.ld_valid(new_ld), lw, -jnp.inf)
-        return log_uniform(key) <= lw
+        return lu <= lw

@@ -124,15 +124,100 @@ def mixture_one(key, theta_i, comp, hc, d):
     return prop, corr
 
 
-def propose_half(key, half, comp, d, kernel=mixture_one):
+def propose_half(key, half, comp, d, kernel=None):
     """Propose for every walker of `half` (leaves [H, ...]) with partners
-    from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H])."""
+    from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H]).
+
+    Default is the fully-batched mixture (one batched draw per random
+    quantity instead of per-walker key splits — the splits alone dominate
+    a sweep at large H). Pass one of the `*_one` kernels to vmap a
+    single-walker kernel instead (used by the kernel unit tests).
+    """
+    if kernel is None or kernel is mixture_one:
+        return mixture_batched(key, half, comp, d)
     h = jax.tree_util.tree_leaves(half)[0].shape[0]
     hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
     keys = jax.random.split(key, h)
     def one(k, theta_i):
         return kernel(k, theta_i, comp, hc, d)
     return jax.vmap(one, in_axes=(0, 0))(keys, half)
+
+
+def _bshape(w, x):
+    """Broadcast a [h] scalar-per-walker against a [h, ...] leaf."""
+    return w.reshape(w.shape + (1,) * (x.ndim - 1))
+
+
+def mixture_batched(key, half, comp, d, a_stretch=3.0):
+    """Fully-batched 4:2:1 stretch/DE/walk mixture over one half-ensemble.
+
+    Statistically identical to vmapping ``mixture_one`` (different RNG
+    stream): every random quantity is ONE batched draw over the h
+    walkers. All three move proposals are computed and selected per
+    walker — a handful of fused VPU ops; the expensive simulator runs
+    once on the selection.
+    """
+    leaves = jax.tree_util.tree_leaves(half)
+    h = leaves[0].shape[0]
+    hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
+    (km, ksj, ksz, kda, kdb, kdg, kdt, kwa, kwb, kwc, kwr) = \
+        jax.random.split(key, 11)
+
+    mid = jax.random.randint(km, (h,), 0, 7, dtype=jnp.int32)
+    is_s = mid < 4
+    is_d = (mid >= 4) & (mid < 6)
+
+    # --- stretch (transition.jl:51-59) --------------------------------
+    js = jax.random.randint(ksj, (h,), 0, hc, dtype=jnp.int32)
+    z = cdf_g_inv(jax.random.uniform(ksz, (h,), _f32), a_stretch)
+    part = tree_map(lambda x: x[js], comp)
+    p_s = tree_map(
+        lambda pa, pi: pa + _bshape(z, pa) * (pi - pa), part, half)
+    c_s = (d - 1) * jnp.log(z)
+
+    # --- DE (transition.jl:2-22) --------------------------------------
+    ia = jax.random.randint(kda, (h,), 0, hc, dtype=jnp.int32)
+    ib = jax.random.randint(kdb, (h,), 0, hc - 1, dtype=jnp.int32)
+    ib = ib + (ib >= ia)
+    gamma = 2.38 / math.sqrt(2 * d) * jnp.exp(
+        0.1 * jax.random.normal(kdg, (h,), _f32))
+    ta = tree_map(lambda x: x[ia], comp)
+    tb = tree_map(lambda x: x[ib], comp)
+    noise = _noise_like(kdt, half)  # elementwise jitter, [h, ...] leaves
+    def mk_de(xi, xa, xb, nz):
+        g = _bshape(gamma, xi)
+        tri = jnp.abs(xa - xb) + jnp.abs(xi - xb) + jnp.abs(xa - xi)
+        return xi + g * (xa - xb) + g * tri / 300.0 * nz
+    p_d = tree_map(mk_de, half, ta, tb, noise)
+
+    # --- walk (transition.jl:24-43) -----------------------------------
+    wa = jax.random.randint(kwa, (h,), 0, hc, dtype=jnp.int32)
+    wb = jax.random.randint(kwb, (h,), 0, hc - 1, dtype=jnp.int32)
+    wb = wb + (wb >= wa)
+    wc = jax.random.randint(kwc, (h,), 0, hc - 2, dtype=jnp.int32)
+    lo = jnp.minimum(wa, wb)
+    hi = jnp.maximum(wa, wb)
+    wc = wc + (wc >= lo)
+    wc = wc + (wc >= hi)
+    r = jax.random.normal(kwr, (h, 3), _f32)
+    twa = tree_map(lambda x: x[wa], comp)
+    twb = tree_map(lambda x: x[wb], comp)
+    twc = tree_map(lambda x: x[wc], comp)
+    def mk_walk(xi, xa, xb, xc):
+        cen = (xa + xb + xc) / 3.0
+        w = (_bshape(r[:, 0], xi) * (xa - cen)
+             + _bshape(r[:, 1], xi) * (xb - cen)
+             + _bshape(r[:, 2], xi) * (xc - cen))
+        return xi + w
+    p_w = tree_map(mk_walk, half, twa, twb, twc)
+
+    # --- select -------------------------------------------------------
+    prop = tree_map(
+        lambda a, b, c: jnp.where(_bshape(is_s, a), a,
+                                  jnp.where(_bshape(is_d, a), b, c)),
+        p_s, p_d, p_w)
+    corr = jnp.where(is_s, c_s, 0.0)
+    return prop, corr
 
 
 # --------------------------------------------------------------------------
