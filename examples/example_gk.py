@@ -8,6 +8,11 @@ so likelihood-free inference on (a, b, g, k) from octile summary
 statistics is the canonical use-case.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 

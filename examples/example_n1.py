@@ -13,6 +13,11 @@ receive an explicit PRNG ``key`` (no hidden global RNG — every run is
 deterministic given the key, on any number of chips).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 

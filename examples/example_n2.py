@@ -5,6 +5,11 @@ infer (mu1, mu2, sigma1, sigma2, prob) of a two-component mixture from
 quantile summary statistics.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 
