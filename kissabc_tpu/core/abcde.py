@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.tree import tfloat, tgather, tselect, tree_map
+from ..ops.tree import tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost

@@ -32,7 +32,6 @@ TPU-native redesign (SURVEY §7):
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

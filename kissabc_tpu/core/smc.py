@@ -35,7 +35,7 @@ from ..ops.moves import gaussian_diff_propose
 from ..ops.quantile import masked_quantile
 from ..ops.resampling import replicate_alive, systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
-from ..particles import Particles, particles_from_tree
+from ..particles import particles_from_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost
 

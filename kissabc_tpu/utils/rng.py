@@ -12,7 +12,6 @@ by folding in the *global* particle index.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def as_key(seed_or_key):
