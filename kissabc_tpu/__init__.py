@@ -25,9 +25,10 @@ distributions and the ``Particles`` result type at the top level.
 """
 
 from .distributions import (  # noqa: F401
-    Beta, Categorical, DiscreteUniform, Distribution, Exponential, Factored,
-    Gamma, IID, LogNormal, MultivariateNormal, MvNormal, NegativeBinomial,
-    Normal, Poisson, Product, Truncated, TruncatedNormal, Uniform,
+    Beta, Binomial, Categorical, Cauchy, DiscreteUniform, Distribution,
+    Exponential, Factored, Gamma, Geometric, IID, Laplace, LogNormal,
+    MultivariateNormal, MvNormal, NegativeBinomial, Normal, Poisson,
+    Product, StudentT, Truncated, TruncatedNormal, Uniform, Weibull,
 )
 from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
 from .core.density import (  # noqa: F401
@@ -41,3 +42,4 @@ from .utils import checkpoint  # noqa: F401
 from .utils.logging import IterLog, trace  # noqa: F401
 
 __version__ = "0.1.0"
+from .particles import pcov, pcor  # noqa: F401

@@ -234,6 +234,136 @@ class LogNormal(Distribution):
                          _NEG_INF)
 
 
+@dist("mu", "sigma")
+class Laplace(Distribution):
+    def _post_init(self):
+        object.__setattr__(self, "_lnorm", _f32(np.log(2 * self.sigma)))
+
+    def sample(self, key, shape=()):
+        return self.mu + self.sigma * jax.random.laplace(key, shape)
+
+    def logpdf(self, x):
+        return -jnp.abs(x - self.mu) / self.sigma - self._lnorm
+
+    def cdf(self, x):
+        z = (x - self.mu) / self.sigma
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1 - 0.5 * jnp.exp(-z))
+
+    def quantile(self, q):
+        return self.mu - self.sigma * jnp.sign(q - 0.5) * jnp.log1p(
+            -2 * jnp.abs(q - 0.5))
+
+
+@dist("mu", "sigma")
+class Cauchy(Distribution):
+    def _post_init(self):
+        object.__setattr__(self, "_lnorm", _f32(np.log(np.pi * self.sigma)))
+
+    def sample(self, key, shape=()):
+        return self.mu + self.sigma * jax.random.cauchy(key, shape)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.sigma
+        return -jnp.log1p(z * z) - self._lnorm
+
+    def cdf(self, x):
+        return 0.5 + jnp.arctan((x - self.mu) / self.sigma) / np.pi
+
+    def quantile(self, q):
+        return self.mu + self.sigma * jnp.tan(np.pi * (q - 0.5))
+
+
+@dist("nu")
+class StudentT(Distribution):
+    """Standard Student t with nu degrees of freedom."""
+
+    def _post_init(self):
+        nu = float(self.nu)
+        object.__setattr__(self, "_lnorm", _f32(
+            sps.gammaln((nu + 1) / 2) - sps.gammaln(nu / 2)
+            - 0.5 * np.log(nu * np.pi)))
+
+    def sample(self, key, shape=()):
+        return jax.random.t(key, self.nu, shape)
+
+    def logpdf(self, x):
+        nu = self.nu
+        return self._lnorm - (nu + 1) / 2 * jnp.log1p(x * x / nu)
+
+
+@dist("alpha", "theta")
+class Weibull(Distribution):
+    """Shape ``alpha``, scale ``theta``."""
+
+    def _post_init(self):
+        object.__setattr__(self, "_lnorm", _f32(
+            np.log(self.alpha) - self.alpha * np.log(self.theta)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.theta * (-jnp.log1p(-u)) ** (1.0 / self.alpha)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = (self._lnorm + (self.alpha - 1) * jnp.log(xs)
+              - (xs / self.theta) ** self.alpha)
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        return jnp.where(x > 0,
+                         -jnp.expm1(-(jnp.maximum(x, 0) / self.theta)
+                                    ** self.alpha), 0.0)
+
+    def quantile(self, q):
+        return self.theta * (-jnp.log1p(-q)) ** (1.0 / self.alpha)
+
+
+@dist("n", "p")
+class Binomial(Distribution):
+    discrete = True
+
+    def _post_init(self):
+        object.__setattr__(self, "_lgn1", _f32(sps.gammaln(self.n + 1)))
+        object.__setattr__(self, "_lp", _f32(np.log(max(self.p, 1e-37))))
+        object.__setattr__(self, "_l1p", _f32(np.log1p(-min(self.p,
+                                                            1 - 1e-7))))
+
+    def sample(self, key, shape=()):
+        nn = int(self.n)
+        u = jax.random.uniform(key, shape + (nn,))
+        return jnp.sum(u < self.p, axis=-1).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= 0) & (xf <= self.n)
+        xs = jnp.where(inside, xf, 0.0)
+        lp = (self._lgn1 - gammaln(xs + 1) - gammaln(self.n - xs + 1)
+              + xs * self._lp + (self.n - xs) * self._l1p)
+        return jnp.where(inside, lp, _NEG_INF)
+
+
+@dist("p")
+class Geometric(Distribution):
+    """Number of failures before the first success: P(X=k)=p(1-p)^k."""
+
+    discrete = True
+
+    def _post_init(self):
+        object.__setattr__(self, "_lp", _f32(np.log(self.p)))
+        object.__setattr__(self, "_l1p", _f32(np.log1p(-self.p)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return jnp.floor(jnp.log1p(-u) / self._l1p).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        ok = xf >= 0
+        xs = jnp.where(ok, xf, 0.0)
+        return jnp.where(ok, self._lp + xs * self._l1p, _NEG_INF)
+
+
 def _host_cdf(base: Distribution, x: float) -> float:
     """Host-side cdf for the truncation bounds — numpy/scipy only, so
     ``Truncated.__init__`` never touches the device."""
@@ -616,7 +746,8 @@ jax.tree_util.register_pytree_node(Factored, _fact_flatten, _fact_unflatten)
 
 __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
-    "LogNormal", "Truncated", "TruncatedNormal", "DiscreteUniform",
+    "LogNormal", "Laplace", "Cauchy", "StudentT", "Weibull", "Truncated",
+    "TruncatedNormal", "DiscreteUniform", "Binomial", "Geometric",
     "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
     "MultivariateNormal", "Product", "IID", "Factored",
 ]

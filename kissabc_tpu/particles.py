@@ -142,3 +142,16 @@ def pmap_apply(f, *ps):
     arrays = [p.particles if isinstance(p, Particles) else _as_np(p)
               for p in ps]
     return Particles(np.asarray(f(*arrays)))
+
+
+def pcov(ps):
+    """Covariance matrix across a list of aligned Particles clouds (the
+    reference's commented `cov(R)` / sigmapoints usage, smc.jl:234)."""
+    m = np.stack([p.particles for p in ps])
+    return np.cov(m)
+
+
+def pcor(ps):
+    """Correlation matrix across aligned Particles clouds."""
+    m = np.stack([p.particles for p in ps])
+    return np.corrcoef(m)

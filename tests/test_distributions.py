@@ -166,3 +166,64 @@ def test_distributions_are_traceable():
     x, lp = f(KEY)
     assert x.shape == (4,)
     assert np.isfinite(float(lp))
+
+
+def test_laplace():
+    d = ka.Laplace(1.0, 2.0)
+    x = draws(d)
+    assert abs(x.mean() - 1.0) < 0.05
+    xs = np.array([-1.0, 1.0, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.laplace(1, 2).logpdf(xs), rtol=1e-4)
+
+
+def test_cauchy():
+    d = ka.Cauchy(0.5, 1.5)
+    x = draws(d)
+    assert abs(np.median(x) - 0.5) < 0.05
+    xs = np.array([-2.0, 0.5, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.cauchy(0.5, 1.5).logpdf(xs), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(0.5)), 0.5, atol=1e-6)
+
+
+def test_student_t():
+    d = ka.StudentT(5.0)
+    x = draws(d)
+    assert abs(x.mean()) < 0.05
+    xs = np.array([-2.0, 0.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.t(5).logpdf(xs), rtol=1e-3)
+
+
+def test_weibull():
+    d = ka.Weibull(2.0, 3.0)
+    x = draws(d)
+    ref = st.weibull_min(2, scale=3)
+    assert abs(x.mean() - ref.mean()) < 0.05
+    xs = np.array([0.5, 2.0, 6.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-3)
+
+
+def test_binomial():
+    d = ka.Binomial(20, 0.3)
+    assert d.discrete
+    x = draws(d, n=5000)
+    assert abs(x.mean() - 6.0) < 0.15
+    ks = np.arange(0, 21)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(ks)), st.binom(20, 0.3).logpmf(ks),
+        rtol=1e-3, atol=1e-3)
+    assert float(d.logpdf(21)) == -np.inf
+
+
+def test_geometric():
+    d = ka.Geometric(0.3)
+    assert d.discrete
+    x = draws(d)
+    ref_mean = (1 - 0.3) / 0.3
+    assert abs(x.mean() - ref_mean) < 0.1
+    ks = np.arange(0, 15)
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(ks)), st.geom(0.3, loc=-1).logpmf(ks), rtol=1e-4)
