@@ -196,10 +196,17 @@ class CommonLogDensity(Density):
     and a log-density lpi(x) — makes AIS a general-purpose sampler
     (types.jl:105-128, e.g. the Rosenbrock banana, KissABC.jl:140-147)."""
 
-    def __init__(self, nparameters, sample_init, lpi):
+    def __init__(self, nparameters, sample_init, lpi,
+                 lpi_vectorized=False):
         self._n = int(nparameters)
         self.sample_init = sample_init
-        self.lpi = _adapt_cost(lpi)
+        self.lpi = lpi if lpi_vectorized else _adapt_cost(lpi)
+        self.vectorized = lpi_vectorized
+
+    def loglike_batch(self, pushed, key):
+        if not self.vectorized:
+            return Density.loglike_batch(self, pushed, key)
+        return jnp.asarray(self.lpi(pushed, key), _f32)
 
     @property
     def nparams(self):

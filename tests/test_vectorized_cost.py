@@ -52,3 +52,16 @@ def test_stochastic_batched_cost():
 
     res = ka.smc(pri, bcost, epstol=0.2, cost_vectorized=True, key=8)
     assert res.P.approx(0.0, atol=0.3)
+
+
+def test_common_logdensity_vectorized():
+    """CommonLogDensity with a vectorized log-density over the batch."""
+    D = ka.CommonLogDensity(
+        2, lambda k: jax.random.normal(k, (2,)),
+        lambda xs, key: -0.5 * jnp.sum(xs * xs, axis=-1),
+        lpi_vectorized=True)
+    res = ka.sample(D, ka.AIS(32), 500, ntransitions=5,
+                    discard_initial=500, key=9)
+    x, y = res
+    assert abs(x.mean()) < 0.15 and abs(y.mean()) < 0.15
+    assert abs(x.std() - 1.0) < 0.15
