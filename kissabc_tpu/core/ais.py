@@ -92,7 +92,7 @@ def _init_ensemble(model, key, n, retry_sampling):
 # red/black sweep
 # --------------------------------------------------------------------------
 
-def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
+def _half_update(model, key, thetas, lds, lo, hi, n, kernel, scheme):
     """MH-update walkers [lo:hi) with partners drawn from the complement."""
     d = model.nparams
     upd = tree_map(lambda x: x[lo:hi], thetas)
@@ -100,7 +100,8 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
     comp = tree_map(lambda x: jnp.concatenate([x[:lo], x[hi:]]), thetas)
 
     kp, kl, ka = jax.random.split(key, 3)
-    props, corr = propose_half(kp, upd, comp, d, kernel=kernel)
+    props, corr = propose_half(kp, upd, comp, d, kernel=kernel,
+                               scheme=scheme)
     pushed = jax.vmap(model.push)(props)
     h = hi - lo
     new_lds = model.loglike_batch(pushed, kl)
@@ -121,16 +122,21 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel):
     return thetas, lds
 
 
-def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t):
+def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t,
+               partner_scheme="auto"):
     """One full red/black sweep over the ensemble; jit/vmap/scan-safe.
     ``constrain`` pins ensemble arrays to a mesh walker axis (identity on
-    a single chip)."""
+    a single chip). ``partner_scheme``: 'roll' (rotation partners,
+    TPU-native default) or 'gather' (the reference's per-walker random
+    partners) — see ops/moves.py."""
     h = n // 2
 
     def sweep(key, thetas, lds):
         ka, kb = jax.random.split(key)
-        thetas, lds = _half_update(model, ka, thetas, lds, 0, h, n, kernel)
-        thetas, lds = _half_update(model, kb, thetas, lds, h, n, n, kernel)
+        thetas, lds = _half_update(model, ka, thetas, lds, 0, h, n, kernel,
+                                   partner_scheme)
+        thetas, lds = _half_update(model, kb, thetas, lds, h, n, n, kernel,
+                                   partner_scheme)
         return constrain(thetas), constrain(lds)
 
     return sweep
@@ -142,7 +148,7 @@ def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t):
 
 def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
              discard_initial: int = 0, retry_sampling: int = 100,
-             kernel=mixture_one, mesh=None):
+             kernel=mixture_one, mesh=None, partner_scheme="auto"):
     """Build the jittable end-to-end AIS program ``run(key) -> (samples
     [blocks*n, ...], valid [n])``. Shared by the single-chain driver, the
     vmapped multi-chain driver, and the benchmarks."""
@@ -153,7 +159,8 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
             f"AIS(.) at least to {model.nparams + 5}")
     from ..parallel.mesh import constrainer
     sweep = make_sweep(model, n, kernel,
-                       constrain=constrainer(mesh, "walker"))
+                       constrain=constrainer(mesh, "walker"),
+                       partner_scheme=partner_scheme)
 
     burn_sweeps = max(0, math.ceil(discard_initial * ntransitions / n))
     blocks = max(1, math.ceil(ns / n))

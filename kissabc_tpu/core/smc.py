@@ -53,7 +53,7 @@ class SMCResult(NamedTuple):
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
                  resample, verbose, constrain=lambda t: t,
-                 cost_vectorized=False):
+                 cost_vectorized=False, partner_scheme="auto"):
     """Build the jittable smc(key) -> final-state program. ``constrain``
     pins population arrays to a mesh axis (parallel/mesh.py); identity on
     a single chip. With ``cost_vectorized`` the user cost takes the whole
@@ -85,7 +85,8 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         """One retry round of the rejuvenation sweep (smc.jl:159-191);
         proposals all read the pre-sweep snapshot (smc.jl:160-167)."""
         kp, kmh, kc = jax.random.split(key, 3)
-        props = gaussian_diff_propose(kp, thetas, d, max_stretch)
+        props = gaussian_diff_propose(kp, thetas, d, max_stretch,
+                                      scheme=partner_scheme)
         lprob = -jax.random.exponential(kmh, (n,), _f32)  # log U per walker
         lpp = jnp.asarray(vlogpdf(props), _f32)
         # gate 1 — prior-only MH (smc.jl:172-175); -inf lpp rejected
@@ -181,7 +182,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         max_stretch: float = 2.0, max_iters: int = 10_000,
         resample: str = "replicate", verbose: bool = False,
         parallel: bool = True, mesh=None, cost_vectorized: bool = False,
-        key=0) -> SMCResult:
+        partner_scheme: str = "auto", key=0) -> SMCResult:
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
@@ -219,7 +220,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
         max_iters=max_iters, resample=resample, verbose=verbose,
         constrain=constrainer(mesh, "walker"),
-        cost_vectorized=cost_vectorized)
+        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
     pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
 
     alive_np = np.asarray(alive)

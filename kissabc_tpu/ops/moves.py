@@ -124,7 +124,7 @@ def mixture_one(key, theta_i, comp, hc, d):
     return prop, corr
 
 
-def propose_half(key, half, comp, d, kernel=None):
+def propose_half(key, half, comp, d, kernel=None, scheme="auto"):
     """Propose for every walker of `half` (leaves [H, ...]) with partners
     from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H]).
 
@@ -132,9 +132,11 @@ def propose_half(key, half, comp, d, kernel=None):
     quantity instead of per-walker key splits — the splits alone dominate
     a sweep at large H). Pass one of the `*_one` kernels to vmap a
     single-walker kernel instead (used by the kernel unit tests).
+    ``scheme`` selects rotation vs gather partner choice (see
+    ``gaussian_diff_propose``).
     """
     if kernel is None or kernel is mixture_one:
-        return mixture_batched(key, half, comp, d)
+        return mixture_batched(key, half, comp, d, scheme=scheme)
     h = jax.tree_util.tree_leaves(half)[0].shape[0]
     hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
     keys = jax.random.split(key, h)
@@ -148,18 +150,59 @@ def _bshape(w, x):
     return w.reshape(w.shape + (1,) * (x.ndim - 1))
 
 
-def mixture_batched(key, half, comp, d, a_stretch=3.0):
+def _partners(keys, comp, h, hc, k, scheme):
+    """k mutually-distinct partner trees for h walkers from comp.
+
+    scheme="roll": k distinct random rotations — partner j for walker i
+    is comp[(i + r_j) % hc]; contiguous access / ppermute on a mesh.
+    scheme="gather": per-walker random distinct indices (reference law).
+    """
+    def draw_distinct(shape):
+        """k mutually-distinct uniform draws over [0, hc): draw the j-th
+        from [0, hc-j) and bump past the previous draws in ascending
+        order (the sorted-exclude arithmetic of sample_distinct)."""
+        draws = []
+        for j in range(k):
+            u = jax.random.randint(keys[j], shape, 0, hc - j,
+                                   dtype=jnp.int32)
+            if draws:
+                ex = jnp.sort(jnp.stack(draws, axis=0), axis=0)
+                for i in range(len(draws)):
+                    u = u + (u >= ex[i])
+            draws.append(u)
+        return draws
+
+    if scheme == "roll" and h <= hc:
+        return [
+            tree_map(lambda x: jnp.roll(x, -r, axis=0)[:h], comp)
+            for r in draw_distinct(())
+        ]
+    if scheme == "roll":  # odd-split edge: wrap positions explicitly
+        import numpy as np
+        pos = np.arange(h, dtype=np.int32)
+        return [
+            tree_map(lambda x: x[(pos + r) % hc], comp)
+            for r in draw_distinct(())
+        ]
+    return [tree_map(lambda x: x[i], comp) for i in draw_distinct((h,))]
+
+
+def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto"):
     """Fully-batched 4:2:1 stretch/DE/walk mixture over one half-ensemble.
 
     Statistically identical to vmapping ``mixture_one`` (different RNG
     stream): every random quantity is ONE batched draw over the h
     walkers. All three move proposals are computed and selected per
     walker — a handful of fused VPU ops; the expensive simulator runs
-    once on the selection.
+    once on the selection. ``scheme="roll"`` draws partners via distinct
+    random rotations of the complementary half (uniform marginally,
+    state-independent — the Goodman-Weare/ter Braak validity arguments
+    only need partner choice independent of the updated walker's state).
     """
     leaves = jax.tree_util.tree_leaves(half)
     h = leaves[0].shape[0]
     hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
+    scheme = _resolve_scheme(scheme, h + hc)
     (km, ksj, ksz, kda, kdb, kdg, kdt, kwa, kwb, kwc, kwr) = \
         jax.random.split(key, 11)
 
@@ -168,21 +211,16 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0):
     is_d = (mid >= 4) & (mid < 6)
 
     # --- stretch (transition.jl:51-59) --------------------------------
-    js = jax.random.randint(ksj, (h,), 0, hc, dtype=jnp.int32)
+    (part,) = _partners((ksj,), comp, h, hc, 1, scheme)
     z = cdf_g_inv(jax.random.uniform(ksz, (h,), _f32), a_stretch)
-    part = tree_map(lambda x: x[js], comp)
     p_s = tree_map(
         lambda pa, pi: pa + _bshape(z, pa) * (pi - pa), part, half)
     c_s = (d - 1) * jnp.log(z)
 
     # --- DE (transition.jl:2-22) --------------------------------------
-    ia = jax.random.randint(kda, (h,), 0, hc, dtype=jnp.int32)
-    ib = jax.random.randint(kdb, (h,), 0, hc - 1, dtype=jnp.int32)
-    ib = ib + (ib >= ia)
+    ta, tb = _partners((kda, kdb), comp, h, hc, 2, scheme)
     gamma = 2.38 / math.sqrt(2 * d) * jnp.exp(
         0.1 * jax.random.normal(kdg, (h,), _f32))
-    ta = tree_map(lambda x: x[ia], comp)
-    tb = tree_map(lambda x: x[ib], comp)
     noise = _noise_like(kdt, half)  # elementwise jitter, [h, ...] leaves
     def mk_de(xi, xa, xb, nz):
         g = _bshape(gamma, xi)
@@ -191,18 +229,8 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0):
     p_d = tree_map(mk_de, half, ta, tb, noise)
 
     # --- walk (transition.jl:24-43) -----------------------------------
-    wa = jax.random.randint(kwa, (h,), 0, hc, dtype=jnp.int32)
-    wb = jax.random.randint(kwb, (h,), 0, hc - 1, dtype=jnp.int32)
-    wb = wb + (wb >= wa)
-    wc = jax.random.randint(kwc, (h,), 0, hc - 2, dtype=jnp.int32)
-    lo = jnp.minimum(wa, wb)
-    hi = jnp.maximum(wa, wb)
-    wc = wc + (wc >= lo)
-    wc = wc + (wc >= hi)
+    twa, twb, twc = _partners((kwa, kwb, kwc), comp, h, hc, 3, scheme)
     r = jax.random.normal(kwr, (h, 3), _f32)
-    twa = tree_map(lambda x: x[wa], comp)
-    twb = tree_map(lambda x: x[wb], comp)
-    twc = tree_map(lambda x: x[wc], comp)
     def mk_walk(xi, xa, xb, xc):
         cen = (xa + xb + xc) / 3.0
         w = (_bshape(r[:, 0], xi) * (xa - cen)
@@ -224,7 +252,18 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0):
 # SMC sweep move — full-ensemble snapshot semantics
 # --------------------------------------------------------------------------
 
-def gaussian_diff_propose(key, ens, d, max_stretch=2.0):
+AUTO_ROLL_MIN = 16384  # below this, per-walker gathers are cheap and the
+# reference-exact partner law wins (shared rotations measurably slow
+# mixing for small ensembles); above it, gathers dominate the sweep
+
+
+def _resolve_scheme(scheme, n):
+    if scheme == "auto":
+        return "roll" if n >= AUTO_ROLL_MIN else "gather"
+    return scheme
+
+
+def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto"):
     """The smc rejuvenation move (smc.jl:160-167): for every particle i,
     two distinct partners a,b != i from the *snapshot* ensemble and
     W = (theta_b - theta_a) * max_stretch * N(0,1) / sqrt(d); correction 0.
@@ -233,14 +272,37 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0):
 
     All proposals read the same snapshot, so the whole sweep is one
     batched kernel — and all randomness comes from THREE batched draws
-    (no per-walker key splitting: vmapped splits cost ~n threefry hashes
-    each and dominated the sweep at large n). Distinctness a != i,
-    b != {i, a} uses the sorted-exclude bump arithmetic of
-    ``sample_distinct``, vectorized per lane.
+    (no per-walker key splitting).
+
+    Partner selection ``scheme``:
+
+    - ``"roll"`` (default, TPU-native): partners via two random ensemble
+      ROTATIONS — partner pair for walker i is ((i+r1)%n, (i+r2)%n) with
+      r1 != r2 drawn once per sweep. Marginally each walker's partners
+      are uniform over the other walkers and distinct, the proposal is
+      symmetric given the snapshot (the difference is snapshot-fixed and
+      the Gaussian scale is sign-symmetric), so MH validity is unchanged;
+      only the cross-walker correlation structure differs from the
+      reference (same statistical-parity level as red/black AIS).
+      Contiguous rotations stream at HBM bandwidth and become ppermute
+      collectives on a sharded mesh; random-index gathers measured ~2.2x
+      slower end-to-end.
+    - ``"gather"``: per-walker random distinct partners, exactly the
+      reference's selection law.
     """
     import numpy as np
     n = jax.tree_util.tree_leaves(ens)[0].shape[0]
+    scheme = _resolve_scheme(scheme, n)
     ka, kb, kw = jax.random.split(key, 3)
+    w = max_stretch * jax.random.normal(kw, (n,), _f32) / math.sqrt(d)
+    if scheme == "roll":
+        r1 = jax.random.randint(ka, (), 1, n, dtype=jnp.int32)
+        r2 = jax.random.randint(kb, (), 1, n - 1, dtype=jnp.int32)
+        r2 = r2 + (r2 >= r1)
+        return tree_map(
+            lambda x: x + (jnp.roll(x, r2, axis=0) - jnp.roll(x, r1, axis=0))
+            * w.reshape((n,) + (1,) * (x.ndim - 1)),
+            ens)
     i = np.arange(n, dtype=np.int32)
     a = jax.random.randint(ka, (n,), 0, n - 1, dtype=jnp.int32)
     a = a + (a >= i)
@@ -249,7 +311,6 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0):
     hi = jnp.maximum(a, i)
     b = b + (b >= lo)
     b = b + (b >= hi)
-    w = max_stretch * jax.random.normal(kw, (n,), _f32) / math.sqrt(d)
     ta = tree_map(lambda x: x[a], ens)
     tb = tree_map(lambda x: x[b], ens)
     return tree_map(
