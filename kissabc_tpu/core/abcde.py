@@ -66,7 +66,7 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         vcost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def generation(key, thetas, lps, ds, nsims):
-        kb, ka2, kb2, kg, km, kc = jax.random.split(key, 6)
+        kb, ka2, kb2, km, kc = jax.random.split(key, 5)
         eps_l = jnp.min(ds)
         eps_h = jnp.max(ds)
         eps_pop = jnp.maximum(eps_target, eps_l + alpha * (eps_h - eps_l))

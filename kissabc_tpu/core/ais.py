@@ -60,14 +60,15 @@ class AIS:
 # --------------------------------------------------------------------------
 
 def _init_ensemble(model, key, n, retry_sampling):
-    def draw(k):
+    def draw_all(k):
         kd, kl = jax.random.split(k)
-        th = model.init_sample(kd)
-        ld = model.loglike(model.push(th), kl)
+        th = jax.vmap(model.init_sample)(jax.random.split(kd, n))
+        # loglike_batch so vectorized/Pallas simulators work at init too
+        ld = model.loglike_batch(jax.vmap(model.push)(th), kl)
         return th, ld
 
-    keys = jax.random.split(key, n + 1)
-    thetas, lds = jax.vmap(draw)(keys[:n])
+    key, k0 = jax.random.split(key)
+    thetas, lds = draw_all(k0)
     valid0 = jax.vmap(model.ld_valid)(lds)
 
     def cond(c):
@@ -77,14 +78,14 @@ def _init_ensemble(model, key, n, retry_sampling):
     def body(c):
         t, th, ld, valid, k = c
         k, sub = jax.random.split(k)
-        nth, nld = jax.vmap(draw)(jax.random.split(sub, n))
+        nth, nld = draw_all(sub)
         th = tselect(valid, th, nth)
         ld = tselect(valid, ld, nld)
         valid = jax.vmap(model.ld_valid)(ld)
         return t + 1, th, ld, valid, k
 
     _, thetas, lds, valid, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), thetas, lds, valid0, keys[n]))
+        cond, body, (jnp.int32(0), thetas, lds, valid0, key))
     return thetas, lds, valid
 
 
@@ -92,7 +93,7 @@ def _init_ensemble(model, key, n, retry_sampling):
 # red/black sweep
 # --------------------------------------------------------------------------
 
-def _half_update(model, key, thetas, lds, lo, hi, n, kernel, scheme):
+def _half_update(model, key, thetas, lds, lo, hi, kernel, scheme):
     """MH-update walkers [lo:hi) with partners drawn from the complement."""
     d = model.nparams
     upd = tree_map(lambda x: x[lo:hi], thetas)
@@ -103,7 +104,6 @@ def _half_update(model, key, thetas, lds, lo, hi, n, kernel, scheme):
     props, corr = propose_half(kp, upd, comp, d, kernel=kernel,
                                scheme=scheme)
     pushed = jax.vmap(model.push)(props)
-    h = hi - lo
     new_lds = model.loglike_batch(pushed, kl)
     acc = model.accept_batch(ka, upd_lds, new_lds, corr)
     # the reference stores the raw float proposal, pushing only at
@@ -133,9 +133,9 @@ def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t,
 
     def sweep(key, thetas, lds):
         ka, kb = jax.random.split(key)
-        thetas, lds = _half_update(model, ka, thetas, lds, 0, h, n, kernel,
+        thetas, lds = _half_update(model, ka, thetas, lds, 0, h, kernel,
                                    partner_scheme)
-        thetas, lds = _half_update(model, kb, thetas, lds, h, n, n, kernel,
+        thetas, lds = _half_update(model, kb, thetas, lds, h, n, kernel,
                                    partner_scheme)
         return constrain(thetas), constrain(lds)
 
@@ -214,11 +214,14 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
            discard_initial: int = 0, retry_sampling: int = 100,
            chains: int | None = None, key=0, progress: bool = False,
-           kernel=mixture_one, mesh=None):
+           kernel=mixture_one, mesh=None, partner_scheme="auto"):
     """KissABC-style entry point: returns per-dimension ``Particles``
     (unwrapped when one-dimensional), like bundle_samples
     (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
-    (the MCMCThreads path, KissABC.jl:96-104)."""
+    (the MCMCThreads path, KissABC.jl:96-104). With a 2-D mesh
+    ``make_mesh(chain=..., walker=...)`` the chain axis shards via the
+    vmapped dimension and the walker axis via in-run sharding
+    constraints."""
     del progress  # the reference's progress bar knob; logging TBD
     if chains is None:
         flat, _ = sample_raw(
@@ -231,11 +234,18 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     # KissABC.jl:9), shardable over a mesh `chain` axis.
     key = as_key(key)
     chain_keys = jax.random.split(key, chains)
+    chain_mesh = mesh is not None and "chain" in mesh.axis_names
+    walker_mesh = mesh is not None and "walker" in mesh.axis_names
     run = make_run(model, sampler, ns, ntransitions=ntransitions,
                    discard_initial=discard_initial,
-                   retry_sampling=retry_sampling, kernel=kernel)
-    vrun = jax.vmap(run)
-    if mesh is not None and "chain" in mesh.axis_names:
+                   retry_sampling=retry_sampling, kernel=kernel,
+                   mesh=mesh if walker_mesh else None,
+                   partner_scheme=partner_scheme)
+    # spmd_axis_name lets the in-run walker constraints compose with the
+    # vmapped chain axis being sharded over the mesh 'chain' axis
+    vrun = jax.vmap(run, spmd_axis_name="chain") if chain_mesh \
+        else jax.vmap(run)
+    if chain_mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
         chain_keys = jax.device_put(
             chain_keys, NamedSharding(mesh, P("chain")))

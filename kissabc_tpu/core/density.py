@@ -92,9 +92,6 @@ class Density:
     def ld_valid(self, ld):
         raise NotImplementedError
 
-    def accept(self, key, old_ld, new_ld, corr):
-        raise NotImplementedError
-
 
 class ApproxKernelizedPosterior(Density):
     """ABC density with Gaussian kernel 𝒩(0, eps): loglikelihood =

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.moves import masked_distinct
 from ..ops.quantile import quantile
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
@@ -105,25 +106,13 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
 
     def regen_round(key, thetas, lps, cs, good, order, active, eps):
         """One masked rejection round for all still-active bad particles
-        (the body of the reference's @goto resample loop, smc.jl:308-326)."""
-        kb, kc, kd, kw, km, kcost = jax.random.split(key, 6)
-        m = jnp.sum(good)
-
-        def pick(k1, k2, k3):
-            # three distinct positions in [0, m), mapped through order
-            u1 = jax.random.randint(k1, (), 0, m, dtype=jnp.int32)
-            u2 = jax.random.randint(k2, (), 0, m - 1, dtype=jnp.int32)
-            u2 = u2 + (u2 >= u1)
-            u3 = jax.random.randint(k3, (), 0, m - 2, dtype=jnp.int32)
-            lo = jnp.minimum(u1, u2)
-            hi = jnp.maximum(u1, u2)
-            u3 = u3 + (u3 >= lo)
-            u3 = u3 + (u3 >= hi)
-            return order[u1], order[u2], order[u3]
-
-        bs, css, dss = jax.vmap(pick)(
-            jax.random.split(kb, n), jax.random.split(kc, n),
-            jax.random.split(kd, n))
+        (the body of the reference's @goto resample loop, smc.jl:308-326).
+        Partner triples come from the shared masked_distinct kernel with
+        the good-first ordering precomputed once per sweep."""
+        kp, kw, km, kcost = jax.random.split(key, 4)
+        bs, css, dss = jax.vmap(
+            lambda k: masked_distinct(k, good, 3, order=order)
+        )(jax.random.split(kp, n))
         w = jax.random.normal(kw, (n,), _f32) * proposal_width
         tb = tgather(thetas, bs)
         tc = tgather(thetas, css)

@@ -176,6 +176,40 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     return program
 
 
+def _validate_smc_knobs(prior, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
+                        r_epstol, min_r_ess, max_stretch, resample,
+                        partner_scheme="auto"):
+    """Knob validation shared by smc and smc_stepped — reference error
+    semantics (smc.jl:107-118) plus the string knobs this build adds."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1].")
+    if r_epstol is None:
+        r_epstol = (1 - alpha) ** 1.5 / 50.0
+    if min_r_ess is None:
+        min_r_ess = alpha ** 2
+    if min_r_ess <= 0:
+        raise ValueError("min_r_ess must be > 0.")
+    if mcmc_retrys < 0:
+        raise ValueError("mcmc_retrys must be >= 0.")
+    if r_epstol < 0:
+        raise ValueError("r_epstol must be >= 0")
+    if mcmc_tol < 0:
+        raise ValueError("mcmc_tol must be >= 0")
+    if max_stretch <= 1:
+        raise ValueError("max_stretch must be > 1")
+    if resample not in ("replicate", "systematic"):
+        raise ValueError(
+            f"resample must be 'replicate' or 'systematic', got {resample!r}")
+    if partner_scheme not in ("auto", "roll", "gather"):
+        raise ValueError(
+            "partner_scheme must be 'auto', 'roll' or 'gather', "
+            f"got {partner_scheme!r}")
+    min_np = math.ceil(3 * prior.nparams / min(alpha, min_r_ess))
+    if nparticles < min_np:
+        raise ValueError(f"nparticles must be >= {min_np}.")
+    return r_epstol, min_r_ess
+
+
 def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         mcmc_retrys: int = 0, mcmc_tol: float = 0.015, epstol: float = 0.0,
         r_epstol: float | None = None, min_r_ess: float | None = None,
@@ -191,25 +225,11 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
     resampling. ``mesh``: a ``jax.sharding.Mesh`` with a ``walker`` axis —
     the population is sharded over it and XLA inserts the ICI collectives
     (SURVEY §2b)."""
-    if r_epstol is None:
-        r_epstol = (1 - alpha) ** 1.5 / 50.0
-    if min_r_ess is None:
-        min_r_ess = alpha ** 2
-    if min_r_ess <= 0:
-        raise ValueError("min_r_ess must be > 0.")
-    if mcmc_retrys < 0:
-        raise ValueError("mcmc_retrys must be >= 0.")
-    if alpha <= 0:
-        raise ValueError("alpha must be > 0.")
-    if r_epstol < 0:
-        raise ValueError("r_epstol must be >= 0")
-    if mcmc_tol < 0:
-        raise ValueError("mcmc_tol must be >= 0")
-    if max_stretch <= 1:
-        raise ValueError("max_stretch must be > 1")
-    min_np = math.ceil(3 * prior.nparams / min(alpha, min_r_ess))
-    if nparticles < min_np:
-        raise ValueError(f"nparticles must be >= {min_np}.")
+    r_epstol, min_r_ess = _validate_smc_knobs(
+        prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
+        mcmc_tol=mcmc_tol, r_epstol=r_epstol, min_r_ess=min_r_ess,
+        max_stretch=max_stretch, resample=resample,
+        partner_scheme=partner_scheme)
     del parallel
 
     from ..parallel.mesh import constrainer
@@ -241,7 +261,8 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
                 r_epstol: float | None = None, min_r_ess: float | None = None,
                 max_stretch: float = 2.0, max_iters: int = 10_000,
                 resample: str = "replicate", checkpoint_every: int = 10,
-                cost_vectorized: bool = False, key=0) -> SMCResult:
+                cost_vectorized: bool = False,
+                partner_scheme: str = "auto", key=0) -> SMCResult:
     """Host-stepped smc: the same algorithm as ``smc`` but with the outer
     adaptive loop driven from the host, enabling (a) per-iteration
     structured logging via ``log`` (an ``utils.logging.IterLog``) and
@@ -254,10 +275,11 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
     from ..utils import checkpoint as ckpt
     from ..utils.rng import as_key
 
-    if r_epstol is None:
-        r_epstol = (1 - alpha) ** 1.5 / 50.0
-    if min_r_ess is None:
-        min_r_ess = alpha ** 2
+    r_epstol, min_r_ess = _validate_smc_knobs(
+        prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
+        mcmc_tol=mcmc_tol, r_epstol=r_epstol, min_r_ess=min_r_ess,
+        max_stretch=max_stretch, resample=resample,
+        partner_scheme=partner_scheme)
 
     program = _smc_program(
         prior, cost if cost_vectorized else _adapt_cost(cost),
@@ -265,7 +287,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         mcmc_tol=mcmc_tol, epstol=epstol, r_epstol=r_epstol,
         min_r_ess=min_r_ess, max_stretch=max_stretch, max_iters=max_iters,
         resample=resample, verbose=False,
-        cost_vectorized=cost_vectorized)
+        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
 
     init_state = jax.jit(program.init_state)
     body = jax.jit(program.body)

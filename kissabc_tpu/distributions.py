@@ -117,6 +117,23 @@ class Distribution:
         return jnp.exp(self.logpdf(x))
 
 
+def _bisect_quantile(cdf, lo, hi, q, iters=60):
+    """Invert a monotone cdf on [lo, hi] with fixed-iteration bisection —
+    jit/vmap-safe quantile for distributions without a closed form."""
+    q = jnp.asarray(q, jnp.float32)
+    lo = jnp.broadcast_to(jnp.asarray(lo, jnp.float32), q.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi, jnp.float32), q.shape)
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        below = cdf(mid) < q
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
 # --------------------------------------------------------------------------
 # Continuous univariate
 # --------------------------------------------------------------------------
@@ -197,6 +214,13 @@ class Beta(Distribution):
               - self._lbeta)
         return jnp.where(inside, lp, _NEG_INF)
 
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        return betainc(self.alpha, self.beta, jnp.clip(x, 0.0, 1.0))
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, 1.0, q)
+
 
 @dist("alpha", "theta")
 class Gamma(Distribution):
@@ -216,6 +240,15 @@ class Gamma(Distribution):
         lp = (self.alpha - 1) * jnp.log(xs) - xs / self.theta - self._lnorm
         return jnp.where(ok, lp, _NEG_INF)
 
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        return gammainc(self.alpha, jnp.maximum(x, 0.0) / self.theta)
+
+    def quantile(self, q):
+        hi = self.theta * (self.alpha + 1.0
+                           + 12.0 * np.sqrt(self.alpha) + 12.0)
+        return _bisect_quantile(self.cdf, 0.0, hi, q)
+
 
 @dist("mu", "sigma")
 class LogNormal(Distribution):
@@ -232,6 +265,14 @@ class LogNormal(Distribution):
         z = (jnp.log(xs) - self.mu) / self.sigma
         return jnp.where(ok, -0.5 * z * z - jnp.log(xs) - self._lnorm,
                          _NEG_INF)
+
+    def cdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        return jnp.where(ok, ndtr((jnp.log(xs) - self.mu) / self.sigma), 0.0)
+
+    def quantile(self, q):
+        return jnp.exp(self.mu + self.sigma * ndtri(q))
 
 
 @dist("mu", "sigma")

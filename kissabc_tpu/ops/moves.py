@@ -260,6 +260,10 @@ AUTO_ROLL_MIN = 16384  # below this, per-walker gathers are cheap and the
 def _resolve_scheme(scheme, n):
     if scheme == "auto":
         return "roll" if n >= AUTO_ROLL_MIN else "gather"
+    if scheme not in ("roll", "gather"):
+        raise ValueError(
+            f"partner scheme must be 'auto', 'roll' or 'gather', "
+            f"got {scheme!r}")
     return scheme
 
 
@@ -321,8 +325,7 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto"):
 
 def masked_index(key, mask, order=None):
     """Uniform random index among the True entries of `mask` (static
-    shapes). Used for pfilter's draws from the good set and ABCDE's base
-    swap (smc.jl:309, smc.jl:390)."""
+    shapes)."""
     if order is None:
         order = jnp.argsort(~mask, stable=True)
     m = jnp.sum(mask)
@@ -333,7 +336,9 @@ def masked_index(key, mask, order=None):
 def masked_distinct(key, mask, k, order=None):
     """k distinct uniform indices among True entries of `mask` (requires
     sum(mask) >= k). Positions are drawn distinct in [0, m) and mapped
-    through the alive-first stable ordering."""
+    through the alive-first stable ordering. Used (vmapped, with a
+    precomputed `order`) by pfilter's good-set partner draws
+    (smc.jl:309-311)."""
     if order is None:
         order = jnp.argsort(~mask, stable=True)
     m = jnp.sum(mask)

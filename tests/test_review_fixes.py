@@ -1,0 +1,83 @@
+"""Regression tests for the round-1 code-review findings (all were in
+previously-uncovered paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kissabc_tpu as ka
+
+
+def test_ais_with_vectorized_cost_init():
+    """Finding 1: _init_ensemble crashed for cost_vectorized models."""
+    pri = ka.Normal(1, 0.2)
+    model = ka.ApproxKernelizedPosterior(
+        pri, lambda xs, key: jnp.abs(xs * xs + 1 - 1.5), 0.001,
+        cost_vectorized=True)
+    res = ka.sample(model, ka.AIS(16), 100, discard_initial=200, key=1)
+    assert res.map(lambda m: m * m + 1).approx(1.5)
+
+
+def test_truncated_gamma_beta_lognormal():
+    """Finding 2: Truncated(Gamma/Beta/LogNormal) lacked quantile/cdf."""
+    import scipy.stats as st
+    for base, lo, hi, ref in [
+        (ka.Gamma(2.0, 1.0), 0.0, 5.0, st.gamma(2)),
+        (ka.Beta(2.0, 3.0), 0.2, 0.8, st.beta(2, 3)),
+        (ka.LogNormal(0.0, 0.5), 0.5, 3.0, st.lognorm(0.5)),
+    ]:
+        t = ka.Truncated(base, lo, hi)
+        x = np.asarray(t.sample(jax.random.key(0), (8000,)))
+        assert x.min() >= lo - 1e-5 and x.max() <= hi + 1e-5
+        want = ref.expect(lambda v: v, lb=lo, ub=hi, conditional=True)
+        assert abs(x.mean() - want) < 0.03, (base, x.mean(), want)
+
+    # a Truncated(Gamma) prior runs through a sampler end to end
+    prior = ka.Truncated(ka.Gamma(2.0, 1.0), 0.0, 5.0)
+    res = ka.smc(prior, lambda x: jnp.abs(x - 1.5), epstol=0.2, key=2)
+    assert res.P.approx(1.5, atol=0.3)
+
+
+def test_density_accept_wrapper():
+    """Finding 3: the protocol-level accept() was clobbered by a stub."""
+    m = ka.ApproxPosterior(ka.Normal(0, 1), lambda x: jnp.abs(x), 0.1)
+    old = (jnp.float32(-0.5), jnp.float32(0.05))
+    new = (jnp.float32(-0.5), jnp.float32(0.05))
+    out = m.accept(jax.random.key(0), old, new, jnp.float32(0.0))
+    assert bool(out)  # equal ld, cost within threshold -> accept
+
+
+def test_smc_stepped_validates_knobs(tmp_path):
+    """Finding 4: smc_stepped skipped all knob validation."""
+    pri = ka.Normal(0, 1)
+    cost = lambda x: jnp.abs(x)
+    with pytest.raises(ValueError):
+        ka.smc_stepped(pri, cost, mcmc_retrys=-1)
+    with pytest.raises(ValueError):
+        ka.smc_stepped(pri, cost, alpha=1.2)
+
+
+def test_string_knob_validation():
+    """Finding 6: typo'd string knobs silently selected other branches."""
+    pri = ka.Normal(0, 1)
+    cost = lambda x: jnp.abs(x)
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, resample="replicated")
+    with pytest.raises(ValueError):
+        ka.smc(pri, cost, partner_scheme="rolls")
+
+
+def test_chains_with_2d_mesh():
+    """Finding 5: multi-chain sample() dropped the walker-axis mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from kissabc_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(chain=2, walker=4)
+    pri = ka.Normal(1, 0.2)
+    abc = ka.ApproxKernelizedPosterior(
+        pri, lambda x: jnp.abs(x * x + 1 - 1.5), 0.001)
+    res = ka.sample(abc, ka.AIS(16), 50, chains=2, discard_initial=100,
+                    mesh=mesh, key=3)
+    assert len(res) == 100
+    assert res.map(lambda m: m * m + 1).approx(1.5)
