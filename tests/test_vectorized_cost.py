@@ -65,3 +65,22 @@ def test_common_logdensity_vectorized():
     x, y = res
     assert abs(x.mean()) < 0.15 and abs(y.mean()) < 0.15
     assert abs(x.std() - 1.0) < 0.15
+
+
+def test_host_cost_pure_callback():
+    """The SURVEY §7 escape hatch: a numpy-only black-box simulator
+    driven through pure_callback inside the jitted smc loop."""
+    import numpy as np
+    from kissabc_tpu.utils.host_sim import host_cost
+
+    def black_box(thetas, seeds):
+        (x,) = (thetas,) if not isinstance(thetas, tuple) else (thetas,)
+        x = np.asarray(thetas)
+        rngs = [np.random.default_rng(int(s)) for s in seeds]
+        noise = np.array([r.normal() * 0.05 for r in rngs])
+        return np.abs(x - 1.5 + noise)
+
+    cost = host_cost(black_box)
+    res = ka.smc(ka.Normal(0, 1), cost, epstol=0.1,
+                 cost_vectorized=True, key=11)
+    assert res.P.approx(1.5, atol=0.15)
