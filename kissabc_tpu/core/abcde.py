@@ -27,6 +27,7 @@ import numpy as np
 
 from ..ops.tree import tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
+from ..utils.hostfetch import fetch, fetch_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost
 from .pfilter import _init_with_retry
@@ -159,11 +160,11 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         raise RuntimeError(
             "Prior leads to infinite costs too often; could not initialize "
             "a finite population.")
-    ds_np = np.asarray(ds)
+    ds_np = fetch(ds)
     return ABCDEResult(
-        P=particles_from_tree(tree_map(np.asarray, pushed)),
+        P=particles_from_tree(fetch_tree(pushed)),
         C=Particles(ds_np),
         reached_eps=bool(ds_np.max() <= eps_target),
-        nsim=int(np.asarray(nsims).sum()),
+        nsim=int(fetch(nsims).sum()),
         iterations=int(it),
     )

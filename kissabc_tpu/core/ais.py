@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..ops.moves import mixture_one, propose_half
 from ..ops.tree import tselect, tree_map
 from ..particles import particles_from_tree
+from ..utils.hostfetch import fetch_tree
 from ..utils.rng import as_key
 
 _f32 = jnp.float32
@@ -208,6 +209,7 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         raise RuntimeError(
             "Prior leads to infinite costs too often, tune the prior or "
             "increase `retry_sampling`.")
+    flat = fetch_tree(flat)
     return tree_map(lambda x: x[:ns], flat), valid
 
 
@@ -255,6 +257,7 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
             "Prior leads to infinite costs too often, tune the prior or "
             "increase `retry_sampling`.")
     # [C, blocks*n, ...]: truncate each chain to ns then chainsstack-concat
+    flat = fetch_tree(flat)
     flat = tree_map(
         lambda x: x[:, :ns].reshape((chains * ns,) + x.shape[2:]), flat)
     return particles_from_tree(flat)

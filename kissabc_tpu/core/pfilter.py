@@ -26,6 +26,7 @@ from ..ops.moves import masked_distinct
 from ..ops.quantile import quantile
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
+from ..utils.hostfetch import fetch, fetch_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost
 
@@ -187,8 +188,8 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             "Prior leads to infinite costs too often; could not initialize "
             "a finite population.")
     return PFilterResult(
-        P=particles_from_tree(tree_map(np.asarray, pushed)),
-        C=Particles(np.asarray(cs)),
+        P=particles_from_tree(fetch_tree(pushed)),
+        C=Particles(fetch(cs)),
         eps=float(eps),
         iterations=int(it),
     )

@@ -36,6 +36,7 @@ from ..ops.quantile import masked_quantile
 from ..ops.resampling import replicate_alive, systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import particles_from_tree
+from ..utils.hostfetch import fetch, fetch_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost
 
@@ -243,11 +244,11 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
     pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
 
-    alive_np = np.asarray(alive)
-    pushed_alive = tree_map(lambda x: np.asarray(x)[alive_np], pushed)
+    alive_np = fetch(alive)
+    pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
     return SMCResult(
         P=particles_from_tree(pushed_alive),
-        C=np.asarray(xs),
+        C=fetch(xs),
         eps=float(eps),
         iterations=int(it),
         ess=int(alive_np.sum()),
@@ -273,7 +274,6 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
     import os
 
     from ..utils import checkpoint as ckpt
-    from ..utils.rng import as_key
 
     r_epstol, min_r_ess = _validate_smc_knobs(
         prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
@@ -310,11 +310,11 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
 
     (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
     pushed = jax.vmap(prior.push_tree)(thetas)
-    alive_np = np.asarray(alive)
-    pushed_alive = tree_map(lambda x: np.asarray(x)[alive_np], pushed)
+    alive_np = fetch(alive)
+    pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
     return SMCResult(
         P=particles_from_tree(pushed_alive),
-        C=np.asarray(xs),
+        C=fetch(xs),
         eps=float(eps),
         iterations=int(it),
         ess=int(alive_np.sum()),

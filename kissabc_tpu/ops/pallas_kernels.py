@@ -45,7 +45,7 @@ def _on_tpu() -> bool:
 def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
                         target_mu: float = 2.0, target_sd: float = 0.04,
                         sd_weight: float = 50.0, block: int = 1024,
-                        chunk: int = 256, interpret: bool = False):
+                        chunk: int = 512, interpret: bool = False):
     """Batched README-model cost via the TPU hardware PRNG.
 
     mu, sigma: [n] f32 walker parameters; seed: uint32 scalar.
@@ -136,7 +136,7 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
 
 def make_flagship_cost_batched(ndraws: int = 1000, target_mu: float = 2.0,
                                target_sd: float = 0.04,
-                               sd_weight: float = 50.0, block: int = 256):
+                               sd_weight: float = 50.0, block: int = 1024):
     """Batched flagship cost: (thetas_tree, keys[n]) -> costs[n].
 
     Uses the Pallas hardware-PRNG kernel on TPU; off-TPU it falls back
