@@ -36,6 +36,7 @@ from .core.density import (  # noqa: F401
 )
 from .core.ais import AIS, make_run, make_sweep, sample, sample_raw  # noqa: F401
 from .core.smc import smc, smc_stepped  # noqa: F401
+from .core.tsmc import tsmc  # noqa: F401
 from .core.abcde import ABCDE  # noqa: F401
 from .core.pfilter import pfilter  # noqa: F401
 from .utils import checkpoint  # noqa: F401

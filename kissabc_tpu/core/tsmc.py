@@ -1,0 +1,185 @@
+"""Adaptive tempered SMC (likelihood tempering) with evidence estimation.
+
+Beyond-reference capability (the reference's `smc` is cost-threshold
+ABC only): classical Bayesian SMC over a sequence of tempered targets
+
+    pi_lambda(theta)  ∝  prior(theta) * exp(lambda * loglike(theta)),
+    lambda: 0 -> 1,
+
+with the next temperature chosen adaptively so the incremental-weight
+effective sample size hits ``alpha * N`` (Del Moral et al. 2012; cf. the
+'Optimised Annealed Sequential Monte Carlo Samplers' line of work in
+PAPERS.md), systematic resampling, and ensemble-move MCMC rejuvenation
+(the same red/black stretch/DE/walk mixture as AIS, targeting the
+current tempered density). Produces an unbiased marginal-likelihood
+(evidence) estimate as a by-product:
+
+    log Z = sum_t log ( sum_i w_i exp(dlambda_t * ll_i) / sum_i w_i ).
+
+TPU-native: one jitted ``lax.while_loop``; the temperature search is a
+fixed-iteration bisection on Kish ESS; everything batched over the
+walker axis (shardable via ``mesh=`` exactly like smc).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.moves import propose_half
+from ..ops.quantile import ess_weights
+from ..ops.resampling import systematic
+from ..ops.tree import tfloat, tgather, tselect, tree_map
+from ..particles import particles_from_tree
+from ..utils.hostfetch import fetch, fetch_tree
+from ..utils.rng import as_key
+from .density import _adapt_cost
+
+_f32 = jnp.float32
+
+
+class TSMCResult(NamedTuple):
+    P: object            # posterior Particles (unweighted, post-resample)
+    log_evidence: float  # marginal-likelihood estimate log Z
+    lam: float           # final temperature (1.0 on success)
+    iterations: int
+    ess: float           # final Kish ESS
+
+
+def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
+         mcmc_steps: int = 3, max_iters: int = 1000,
+         partner_scheme: str = "auto", mesh=None, key=0) -> TSMCResult:
+    """Adaptive tempered SMC.
+
+    - ``prior``: any distribution here (incl. ``Factored``).
+    - ``loglike(theta[, key])``: log-likelihood of one pushed parameter
+      pack (vmapped internally).
+    - ``alpha``: per-step incremental-ESS target fraction (next lambda
+      solves ESS(dlambda) = alpha * N; 0.5 is standard).
+    - ``mcmc_steps``: rejuvenation sweeps (red/black mixture moves) per
+      temperature.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    n = nparticles
+    d = prior.nparams
+    ll2 = _adapt_cost(loglike)
+
+    from ..parallel.mesh import constrainer
+    constrain = constrainer(mesh, "walker")
+
+    vlp = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    vll = jax.vmap(lambda th, k: ll2(prior.push_tree(th), k))
+
+    def next_lambda(lam, ll):
+        """Bisect dlam in (0, 1-lam] so Kish ESS of exp(dlam*ll) = alpha*n
+        (if even the full step keeps ESS above target, jump to lam=1)."""
+        target = alpha * n
+
+        def ess_at(dlam):
+            lw = dlam * ll
+            lw = lw - jnp.max(lw)
+            w = jnp.exp(lw)
+            return ess_weights(w)
+
+        full = 1.0 - lam
+
+        def body(_, c):
+            lo, hi = c
+            mid = 0.5 * (lo + hi)
+            too_low = ess_at(mid) < target  # ESS decreases with dlam
+            return jnp.where(too_low, lo, mid), jnp.where(too_low, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(
+            0, 40, body, (jnp.asarray(0.0, _f32), full))
+        dlam = 0.5 * (lo + hi)
+        return jnp.where(ess_at(full) >= target, full, dlam)
+
+    def rejuvenate(key, thetas, lp, ll, lam):
+        """mcmc_steps red/black mixture sweeps targeting pi_lambda."""
+        h = n // 2
+
+        def half(key, thetas, lp, ll, lo, hi):
+            upd = tree_map(lambda x: x[lo:hi], thetas)
+            comp = tree_map(
+                lambda x: jnp.concatenate([x[:lo], x[hi:]]), thetas)
+            kp, kl, ka = jax.random.split(key, 3)
+            props, corr = propose_half(kp, upd, comp, d,
+                                       scheme=partner_scheme)
+            lpp = vlp(props)
+            llp = vll(props, jax.random.split(kl, hi - lo))
+            old = lp[lo:hi] + lam * ll[lo:hi]
+            new = jnp.where(jnp.isfinite(lpp), lpp + lam * llp, -jnp.inf)
+            lu = -jax.random.exponential(ka, (hi - lo,), _f32)
+            acc = lu <= (corr + new - old)
+            upd = tselect(acc, props, upd)
+            lp_new = jnp.where(acc, lpp, lp[lo:hi])
+            ll_new = jnp.where(acc, llp, ll[lo:hi])
+            thetas = tree_map(
+                lambda full_, part: jax.lax.dynamic_update_slice_in_dim(
+                    full_, part, lo, axis=0), thetas, upd)
+            lp = jax.lax.dynamic_update_slice_in_dim(lp, lp_new, lo, axis=0)
+            ll = jax.lax.dynamic_update_slice_in_dim(ll, ll_new, lo, axis=0)
+            return thetas, lp, ll
+
+        def sweep(c, k):
+            thetas, lp, ll = c
+            k1, k2 = jax.random.split(k)
+            thetas, lp, ll = half(k1, thetas, lp, ll, 0, h)
+            thetas, lp, ll = half(k2, thetas, lp, ll, h, n)
+            return (constrain(thetas), constrain(lp), constrain(ll)), None
+
+        (thetas, lp, ll), _ = jax.lax.scan(
+            sweep, (thetas, lp, ll), jax.random.split(key, mcmc_steps))
+        return thetas, lp, ll
+
+    def body(state):
+        key, thetas, lp, ll, lam, logz, it = state
+        key, kres, kmc = jax.random.split(key, 3)
+        it = it + 1
+
+        dlam = next_lambda(lam, ll)
+        # evidence increment: log mean exp(dlam*ll) (weights are uniform
+        # here because we resample every step)
+        m = jnp.max(dlam * ll)
+        logz = logz + m + jnp.log(jnp.mean(jnp.exp(dlam * ll - m)))
+        # reweight + systematic resample back to uniform weights
+        w = jnp.exp(dlam * ll - m)
+        idx = systematic(kres, w)
+        thetas = tgather(thetas, idx)
+        lp = lp[idx]
+        ll = ll[idx]
+        lam = lam + dlam
+
+        thetas, lp, ll = rejuvenate(kmc, thetas, lp, ll, lam)
+        return (key, constrain(thetas), lp, ll, lam, logz, it)
+
+    def cond(state):
+        _, _, _, _, lam, _, it = state
+        return (lam < 1.0) & (it < max_iters)
+
+    def program(key):
+        kinit, kll, kloop = jax.random.split(key, 3)
+        thetas = jax.vmap(lambda k: tfloat(prior.sample_tree(k)))(
+            jax.random.split(kinit, n))
+        thetas = constrain(thetas)
+        lp = jnp.asarray(vlp(thetas), _f32)
+        ll = jnp.asarray(vll(thetas, jax.random.split(kll, n)), _f32)
+        state = (kloop, thetas, lp, ll, jnp.asarray(0.0, _f32),
+                 jnp.asarray(0.0, _f32), jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        _, thetas, lp, ll, lam, logz, it = state
+        pushed = jax.vmap(prior.push_tree)(thetas)
+        return pushed, lam, logz, it, ll
+
+    pushed, lam, logz, it, ll = jax.jit(program)(as_key(key))
+    return TSMCResult(
+        P=particles_from_tree(fetch_tree(pushed)),
+        log_evidence=float(logz),
+        lam=float(lam),
+        iterations=int(it),
+        ess=float(n),
+    )
