@@ -187,6 +187,27 @@ def bench_scaling():
     return eff
 
 
+def bench_gk():
+    """BASELINE config 4: g-and-k quantile-distribution inference,
+    4 params, summary-statistic cost, 4096 particles."""
+    import sys
+    sys.path.insert(0, "examples")
+    import kissabc_tpu as ka
+    from example_gk import TRUE, cost, prior
+
+    t0 = time.perf_counter()
+    res = ka.smc(prior, cost, nparticles=4096, alpha=0.95, epstol=0.05,
+                 key=4)
+    dt = time.perf_counter() - t0
+    a, b, g_, k_ = res.P
+    ok = abs(a.mean() - TRUE[0]) < 0.3 and abs(b.mean() - TRUE[1]) < 0.5
+    log(f"g-and-k 4096 particles: {dt:.1f}s wall, eps={res.eps:.4f}, "
+        f"a={a.mean():.2f} b={b.mean():.2f} g={g_.mean():.2f} "
+        f"k={k_.mean():.2f} (true {TRUE}) -> "
+        f"{'PASS' if ok else 'FAIL'}")
+    return ok
+
+
 def bench_smc_to_reference_eps():
     """Wall-clock for full adaptive smc to reach the reference's README
     tolerance (eps <= 0.011113, README.md:84), 1000 particles."""
@@ -217,6 +238,7 @@ def main():
         f"sigma={sm2:.5f}±{ssd2:.5f}")
 
     bench_scaling()
+    bench_gk()
 
     dt_smc, res, (mum, mus, sm, ss) = bench_smc_to_reference_eps()
     log(f"full smc to eps<=0.011113: {dt_smc:.2f}s wall (incl. compile), "
