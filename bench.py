@@ -190,8 +190,10 @@ def bench_scaling():
 def bench_gk():
     """BASELINE config 4: g-and-k quantile-distribution inference,
     4 params, summary-statistic cost, 4096 particles."""
+    import os
     import sys
-    sys.path.insert(0, "examples")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
     import kissabc_tpu as ka
     from example_gk import TRUE, cost, prior
 

@@ -27,14 +27,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.moves import propose_half
 from ..ops.quantile import ess_weights
 from ..ops.resampling import systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import particles_from_tree
-from ..utils.hostfetch import fetch, fetch_tree
+from ..utils.hostfetch import fetch_tree
 from ..utils.rng import as_key
 from .density import _adapt_cost
 
@@ -46,7 +45,8 @@ class TSMCResult(NamedTuple):
     log_evidence: float  # marginal-likelihood estimate log Z
     lam: float           # final temperature (1.0 on success)
     iterations: int
-    ess: float           # final Kish ESS
+    ess: float           # Kish ESS of the LAST incremental weights
+                         # (pre-resample) — sampler-health indicator
 
 
 def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
@@ -137,7 +137,7 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         return thetas, lp, ll
 
     def body(state):
-        key, thetas, lp, ll, lam, logz, it = state
+        key, thetas, lp, ll, lam, logz, it, _ess = state
         key, kres, kmc = jax.random.split(key, 3)
         it = it + 1
 
@@ -148,6 +148,7 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         logz = logz + m + jnp.log(jnp.mean(jnp.exp(dlam * ll - m)))
         # reweight + systematic resample back to uniform weights
         w = jnp.exp(dlam * ll - m)
+        cur_ess = ess_weights(w)
         idx = systematic(kres, w)
         thetas = tgather(thetas, idx)
         lp = lp[idx]
@@ -155,10 +156,10 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         lam = lam + dlam
 
         thetas, lp, ll = rejuvenate(kmc, thetas, lp, ll, lam)
-        return (key, constrain(thetas), lp, ll, lam, logz, it)
+        return (key, constrain(thetas), lp, ll, lam, logz, it, cur_ess)
 
     def cond(state):
-        _, _, _, _, lam, _, it = state
+        _, _, _, _, lam, _, it, _ess = state
         return (lam < 1.0) & (it < max_iters)
 
     def program(key):
@@ -169,17 +170,18 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         lp = jnp.asarray(vlp(thetas), _f32)
         ll = jnp.asarray(vll(thetas, jax.random.split(kll, n)), _f32)
         state = (kloop, thetas, lp, ll, jnp.asarray(0.0, _f32),
-                 jnp.asarray(0.0, _f32), jnp.int32(0))
+                 jnp.asarray(0.0, _f32), jnp.int32(0),
+                 jnp.asarray(float(n), _f32))
         state = jax.lax.while_loop(cond, body, state)
-        _, thetas, lp, ll, lam, logz, it = state
+        _, thetas, lp, ll, lam, logz, it, ess = state
         pushed = jax.vmap(prior.push_tree)(thetas)
-        return pushed, lam, logz, it, ll
+        return pushed, lam, logz, it, ess
 
-    pushed, lam, logz, it, ll = jax.jit(program)(as_key(key))
+    pushed, lam, logz, it, ess = jax.jit(program)(as_key(key))
     return TSMCResult(
         P=particles_from_tree(fetch_tree(pushed)),
         log_evidence=float(logz),
         lam=float(lam),
         iterations=int(it),
-        ess=float(n),
+        ess=float(ess),
     )

@@ -39,12 +39,20 @@ def host_cost(fn, dtype=jnp.float32):
     ``cost_vectorized=True`` in smc/ABCDE/pfilter and the density models.
 
     The PRNG key becomes a per-particle uint32 seed array so the host
-    simulator stays reproducible. The callback is marked non-vmappable
-    (it receives the whole batch already).
+    simulator stays reproducible. The wrapper receives the whole batch
+    already, so it must be installed with ``cost_vectorized=True`` — a
+    per-walker (vmapped) call raises a descriptive error.
     """
 
     def batched(thetas, key):
-        n = jax.tree_util.tree_leaves(thetas)[0].shape[0]
+        lead = jax.tree_util.tree_leaves(thetas)[0]
+        if lead.ndim == 0:
+            raise ValueError(
+                "host_cost produces a BATCHED cost: pass it with "
+                "cost_vectorized=True (smc/ABCDE/pfilter) or "
+                "cost_vectorized=True on the density model — it cannot "
+                "be vmapped per-walker.")
+        n = lead.shape[0]
         seeds = jax.random.bits(key, (n,), jnp.uint32)
         result_shape = jax.ShapeDtypeStruct((n,), dtype)
 

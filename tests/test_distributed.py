@@ -4,12 +4,16 @@ each, one global walker mesh — the reference's MCMCDistributed analogue
 the identical sharded smc program; results must agree and match the
 known posterior."""
 
+import os
 import socket
 import subprocess
 import sys
 import textwrap
+import threading
 
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""
     import os, sys
@@ -52,14 +56,27 @@ def test_two_process_distributed_smc(tmp_path):
                 if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), port, "/root/repo"],
+            [sys.executable, str(worker), str(i), port, REPO],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for i in range(2)
     ]
+    # drain both workers concurrently: sequential communicate() can
+    # deadlock if the other worker fills its pipe while blocked on a
+    # distributed barrier
+    results = [None, None]
+
+    def drain(i):
+        results[i] = procs[i].communicate(timeout=280)
+
+    threads = [threading.Thread(target=drain, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(290)
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=280)
+    for i, p in enumerate(procs):
+        out, err = results[i]
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
         outs.append([l for l in out.splitlines()
                      if l.startswith("RESULT")][0])

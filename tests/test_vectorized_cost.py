@@ -74,7 +74,6 @@ def test_host_cost_pure_callback():
     from kissabc_tpu.utils.host_sim import host_cost
 
     def black_box(thetas, seeds):
-        (x,) = (thetas,) if not isinstance(thetas, tuple) else (thetas,)
         x = np.asarray(thetas)
         rngs = [np.random.default_rng(int(s)) for s in seeds]
         noise = np.array([r.normal() * 0.05 for r in rngs])
