@@ -135,6 +135,42 @@ def bench_ais_sweep(n=131072, iters=50):
     return n * iters / dt
 
 
+def bench_mcmc_sweep(n=131072, iters=100):
+    """Classical-MCMC mode (no simulator): Rosenbrock banana via
+    CommonLogDensity with a vectorized log-density — measures the raw
+    ensemble-kernel throughput when the target is cheap."""
+    import kissabc_tpu as ka
+    from kissabc_tpu.core.ais import make_sweep
+
+    D = ka.CommonLogDensity(
+        2, lambda k: jax.random.normal(k, (2,)),
+        lambda xs, key: -100 * (xs[:, 0] - xs[:, 1] ** 2) ** 2
+        - (xs[:, 1] - 1) ** 2,
+        lpi_vectorized=True)
+    sweep = make_sweep(D, n)
+
+    @jax.jit
+    def many(key, thetas, lds):
+        def body(c, k):
+            th, ld = c
+            return sweep(k, th, ld), None
+        (th, ld), _ = jax.lax.scan(
+            body, (thetas, lds), jax.random.split(key, iters))
+        return jnp.sum(ld)
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(D.init_sample)(jax.random.split(key, n))
+    lds = D.loglike_batch(jax.vmap(D.push)(thetas),
+                          jax.random.fold_in(key, 1))
+    float(many(key, thetas, lds))
+    float(many(jax.random.fold_in(key, 99), thetas, lds))
+    t0 = time.perf_counter()
+    for r in range(5):
+        float(many(jax.random.fold_in(key, r), thetas, lds))
+    dt = (time.perf_counter() - t0) / 5
+    return n * iters / dt
+
+
 def bench_ais_wallclock():
     """The reference README's only wall-clock claim: AIS(10), 1000
     samples, ntransitions=100 on the Normal model runs in 0:00:02
@@ -232,6 +268,10 @@ def main():
     ais_ups = bench_ais_sweep()
     log(f"AIS red/black mixture sweep n=131072: {ais_ups:,.0f} "
         f"walker-updates/s")
+
+    mcmc_ups = bench_mcmc_sweep()
+    log(f"classical-MCMC sweep (Rosenbrock, no simulator) n=131072: "
+        f"{mcmc_ups:,.0f} walker-updates/s")
 
     dt_c, dt_ais, (am, asd, sm2, ssd2) = bench_ais_wallclock()
     log(f"AIS(10) x1000 samples x100 transitions: {dt_ais:.2f}s execution "
