@@ -54,3 +54,16 @@ def test_iterlog_records():
     log.emit(iteration=1, eps=0.5)
     assert log.records[0]["iteration"] == 1
     assert "eps" in buf.getvalue()
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """utils.logging.trace wraps a block in the JAX profiler and writes
+    a TensorBoard-compatible trace directory."""
+    import os
+    logdir = str(tmp_path / "trace")
+    with ka.trace(logdir):
+        jnp.sum(jnp.ones((64,))).block_until_ready()
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found.extend(files)
+    assert found, "no trace files written"

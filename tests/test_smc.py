@@ -104,3 +104,15 @@ def test_smc_deterministic_given_key():
     b = ka.smc(pri, cost, epstol=0.1, key=7)
     np.testing.assert_array_equal(a.P.particles, b.P.particles)
     assert a.eps == b.eps
+
+
+def test_smc_vector_prior():
+    """smc over a vector-leaf prior (MvNormal): ensemble leaves are
+    [n, d]; roll/gather partner schemes and resampling must handle the
+    extra dimension."""
+    pri = ka.MvNormal(2, 1.0)
+    cost = lambda x: jnp.abs(jnp.sqrt(jnp.sum(x * x)) - 1.0)
+    res = ka.smc(pri, cost, nparticles=500, epstol=0.05, key=8)
+    x, y = res.P
+    radii = np.sqrt(x.particles ** 2 + y.particles ** 2)
+    assert np.abs(radii - 1.0).mean() < 0.05
