@@ -149,7 +149,8 @@ def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t,
 
 def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
              discard_initial: int = 0, retry_sampling: int = 100,
-             kernel=mixture_one, mesh=None, partner_scheme="auto"):
+             kernel=mixture_one, mesh=None, partner_scheme="auto",
+             progress: bool = False):
     """Build the jittable end-to-end AIS program ``run(key) -> (samples
     [blocks*n, ...], valid [n])``. Shared by the single-chain driver, the
     vmapped multi-chain driver, and the benchmarks."""
@@ -179,15 +180,20 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
             (thetas, lds), _ = jax.lax.scan(
                 do_sweep, (thetas, lds), jax.random.split(kburn, burn_sweeps))
 
-        def block(carry, k):
-            th, ld = carry
+        def block(carry, kb):
+            th, ld, bi = carry
             (th, ld), _ = jax.lax.scan(
-                do_sweep, (th, ld), jax.random.split(k, ntransitions))
+                do_sweep, (th, ld), jax.random.split(kb, ntransitions))
             emit = jax.vmap(model.push)(th)
-            return (th, ld), emit
+            if progress:
+                jax.debug.print(
+                    "AIS block {b}/{nb} ({sw} sweeps each)",
+                    b=bi + 1, nb=blocks, sw=ntransitions)
+            return (th, ld, bi + 1), emit
 
-        (thetas, lds), emits = jax.lax.scan(
-            block, (thetas, lds), jax.random.split(krun, blocks))
+        (thetas, lds, _), emits = jax.lax.scan(
+            block, (thetas, lds, jnp.int32(0)),
+            jax.random.split(krun, blocks))
         # [blocks, n, ...] -> [blocks*n, ...]
         flat = tree_map(
             lambda x: x.reshape((blocks * n,) + x.shape[2:]), emits)
@@ -198,12 +204,13 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 
 def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                discard_initial: int = 0, retry_sampling: int = 100,
-               key=0, kernel=mixture_one, mesh=None):
+               key=0, kernel=mixture_one, mesh=None, progress: bool = False):
     """Run AIS and return (pushed sample pytree with leading axis [ns],
     valid_mask) — the array-level API under ``sample``."""
     run = make_run(model, sampler, ns, ntransitions=ntransitions,
                    discard_initial=discard_initial,
-                   retry_sampling=retry_sampling, kernel=kernel, mesh=mesh)
+                   retry_sampling=retry_sampling, kernel=kernel, mesh=mesh,
+                   progress=progress)
     flat, valid = jax.jit(run)(as_key(key))
     if not bool(jnp.all(valid)):
         raise RuntimeError(
@@ -223,13 +230,13 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     (the MCMCThreads path, KissABC.jl:96-104). With a 2-D mesh
     ``make_mesh(chain=..., walker=...)`` the chain axis shards via the
     vmapped dimension and the walker axis via in-run sharding
-    constraints."""
-    del progress  # the reference's progress bar knob; logging TBD
+    constraints. ``progress=True`` prints per-block progress from inside
+    the compiled loop (the reference's AbstractMCMC progress knob)."""
     if chains is None:
         flat, _ = sample_raw(
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling,
-            key=key, kernel=kernel, mesh=mesh)
+            key=key, kernel=kernel, mesh=mesh, progress=progress)
         return particles_from_tree(flat)
 
     # multi-chain: a vmapped chain axis (the MCMCThreads analogue,
