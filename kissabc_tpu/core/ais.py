@@ -143,6 +143,79 @@ def make_sweep(model, n, kernel=mixture_one, constrain=lambda t: t,
     return sweep
 
 
+def _sequential_transition(model, key, thetas, lds, i):
+    """EXACT reference semantics (transition.jl:67-82): one MH move of
+    walker ``i`` against the CURRENT ensemble (partners exclude i, drawn
+    from the live population — the 4:2:1 mixture via the single-walker
+    kernels). Used by the ``schedule='sequential'`` mode."""
+    from ..ops.moves import mixture_one
+    from ..ops.tree import tree_map as tm
+
+    n = jax.tree_util.tree_leaves(thetas)[0].shape[0]
+    d = model.nparams
+    kp, kl, ka = jax.random.split(key, 3)
+    theta_i = tm(lambda x: x[i], thetas)
+    old_ld = tm(lambda x: x[i], lds)
+    # complement = ensemble with walker i swapped to the last slot, then
+    # the first n-1 slots (static shapes; preserves the uniform-over-
+    # others partner law)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.where(idx == i, n - 1, idx)
+    idx = jnp.where(jnp.arange(n) == n - 1, i, idx)
+    comp = tm(lambda x: x[idx][: n - 1], thetas)
+    prop, corr = mixture_one(kp, theta_i, comp, n - 1, d)
+    new_ld = model.loglike(model.push(prop), kl)
+    acc = model.accept(ka, old_ld, new_ld, corr)
+    thetas = tm(lambda full, p: full.at[i].set(
+        jnp.where(acc, p, full[i])), thetas, prop)
+    lds = tm(lambda full, p: full.at[i].set(
+        jnp.where(acc, p, full[i])), lds, new_ld)
+    return thetas, lds
+
+
+def make_sequential_run(model, sampler: AIS, ns: int, *,
+                        ntransitions: int = 1, discard_initial: int = 0,
+                        retry_sampling: int = 100):
+    """The reference's literal sampling loop (KissABC.jl:66-80): one
+    recorded sample per step, walker cursor round-robin, ``ntransitions``
+    single-walker moves between records, partners from the LIVE ensemble.
+    Exact trajectory semantics (modulo RNG stream); serial per step, so
+    use for small ensembles / parity studies — the red/black batched mode
+    is the TPU-fast path."""
+    n = sampler.nparticles
+    if n < model.nparams + 5:
+        raise ValueError(
+            f"nparticles = {n} is insufficient, set number of particles in "
+            f"AIS(.) at least to {model.nparams + 5}")
+    total = discard_initial + ns
+
+    def run(key):
+        kinit, kloop = jax.random.split(key)
+        thetas, lds, valid = _init_ensemble(model, kinit, n, retry_sampling)
+
+        def step(carry, k):
+            thetas, lds, i = carry
+
+            def one(c, kk):
+                th, ld = c
+                th, ld = _sequential_transition(model, kk, th, ld, i)
+                return (th, ld), None
+
+            (thetas, lds), _ = jax.lax.scan(
+                one, (thetas, lds), jax.random.split(k, ntransitions))
+            emit = model.push(
+                jax.tree_util.tree_map(lambda x: x[i], thetas))
+            return (thetas, lds, (i + 1) % n), emit
+
+        (_, _, _), emits = jax.lax.scan(
+            step, (thetas, lds, jnp.int32(0)),
+            jax.random.split(kloop, total))
+        flat = jax.tree_util.tree_map(lambda x: x[discard_initial:], emits)
+        return flat, valid
+
+    return run
+
+
 # --------------------------------------------------------------------------
 # the sample driver (the reference's re-exported `sample`, KissABC.jl:106-175)
 # --------------------------------------------------------------------------
@@ -204,13 +277,26 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 
 def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                discard_initial: int = 0, retry_sampling: int = 100,
-               key=0, kernel=mixture_one, mesh=None, progress: bool = False):
+               key=0, kernel=mixture_one, mesh=None, progress: bool = False,
+               schedule: str = "red_black"):
     """Run AIS and return (pushed sample pytree with leading axis [ns],
-    valid_mask) — the array-level API under ``sample``."""
-    run = make_run(model, sampler, ns, ntransitions=ntransitions,
-                   discard_initial=discard_initial,
-                   retry_sampling=retry_sampling, kernel=kernel, mesh=mesh,
-                   progress=progress)
+    valid_mask) — the array-level API under ``sample``.
+
+    ``schedule='sequential'`` switches to the reference's literal
+    one-walker round-robin loop (exact trajectory semantics, serial —
+    for parity studies/small ensembles)."""
+    if schedule == "sequential":
+        run = make_sequential_run(
+            model, sampler, ns, ntransitions=ntransitions,
+            discard_initial=discard_initial, retry_sampling=retry_sampling)
+    elif schedule == "red_black":
+        run = make_run(model, sampler, ns, ntransitions=ntransitions,
+                       discard_initial=discard_initial,
+                       retry_sampling=retry_sampling, kernel=kernel,
+                       mesh=mesh, progress=progress)
+    else:
+        raise ValueError(
+            f"schedule must be 'red_black' or 'sequential', got {schedule!r}")
     flat, valid = jax.jit(run)(as_key(key))
     if not bool(jnp.all(valid)):
         raise RuntimeError(
@@ -223,7 +309,8 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
            discard_initial: int = 0, retry_sampling: int = 100,
            chains: int | None = None, key=0, progress: bool = False,
-           kernel=mixture_one, mesh=None, partner_scheme="auto"):
+           kernel=mixture_one, mesh=None, partner_scheme="auto",
+           schedule: str = "red_black"):
     """KissABC-style entry point: returns per-dimension ``Particles``
     (unwrapped when one-dimensional), like bundle_samples
     (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
@@ -236,7 +323,8 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         flat, _ = sample_raw(
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling,
-            key=key, kernel=kernel, mesh=mesh, progress=progress)
+            key=key, kernel=kernel, mesh=mesh, progress=progress,
+            schedule=schedule)
         return particles_from_tree(flat)
 
     # multi-chain: a vmapped chain axis (the MCMCThreads analogue,
