@@ -23,7 +23,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.tree import tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree

@@ -36,7 +36,7 @@ from ..ops.quantile import masked_quantile
 from ..ops.resampling import replicate_alive, systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import particles_from_tree
-from ..utils.hostfetch import fetch, fetch_tree
+from ..utils.hostfetch import fetch
 from ..utils.rng import as_key
 from .density import _adapt_cost
 
