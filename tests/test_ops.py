@@ -99,3 +99,29 @@ def test_ess_weights():
     assert float(ess_weights(jnp.ones(10))) == 10.0
     w = jnp.asarray([1.0, 0, 0, 0])
     assert abs(float(ess_weights(w)) - 1.0) < 1e-6
+
+
+def test_bisect_quantile_equals_sort_quantile():
+    """masked_quantile_bisect must be bit-identical to the sort-based
+    type-7 quantile, including duplicates and +-inf entries."""
+    from kissabc_tpu.ops.quantile import masked_quantile_bisect
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = 257
+        x = rng.normal(size=n).astype(np.float32)
+        if trial >= 2:  # duplicates
+            x = np.round(x * 4) / 4
+        if trial >= 4:  # infinities
+            x[rng.random(n) < 0.2] = np.inf
+            x[rng.random(n) < 0.05] = -np.inf
+        mask = rng.random(n) < 0.7
+        mask[0] = True
+        for q in (0.05, 0.5, 0.7, 0.95, 1.0):
+            a = float(masked_quantile(jnp.asarray(x), jnp.asarray(mask), q))
+            b = float(masked_quantile_bisect(jnp.asarray(x),
+                                             jnp.asarray(mask), q))
+            if np.isnan(a):
+                assert np.isnan(b), (trial, q)
+            else:
+                assert a == b or abs(a - b) < 2e-6 * max(1, abs(a)), \
+                    (trial, q, a, b)
