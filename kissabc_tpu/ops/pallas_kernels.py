@@ -65,6 +65,12 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
 
     n = mu.shape[0]
     npad = -(-n // block) * block
+    # bucket to the next power of two: every distinct padded size costs a
+    # fresh Mosaic kernel compile (minutes over a tunneled TPU), so keep
+    # the set of compiled shapes small
+    npad = 1 << (npad - 1).bit_length()
+    npad = max(npad, block)
+    npad = -(-npad // block) * block  # non-pow2 block sizes stay aligned
     nchunks = -(-ndraws // (2 * chunk))  # 2 normals per bit-chunk
     exp_one = np.uint32(0x3F800000)
     inv_n = np.float32(1.0 / ndraws)
