@@ -65,9 +65,10 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
 
     n = mu.shape[0]
     npad = -(-n // block) * block
-    # bucket to the next power of two: every distinct padded size costs a
-    # fresh Mosaic kernel compile (minutes over a tunneled TPU), so keep
-    # the set of compiled shapes small
+    # bucket the padded size to the next power of two: bounds the set of
+    # distinct kernel shapes (helps compile caches that key on the Mosaic
+    # kernel; note the tunneled remote-compile service still recompiles
+    # per enclosing XLA module, so first-call latency per new n remains)
     npad = 1 << (npad - 1).bit_length()
     npad = max(npad, block)
     npad = -(-npad // block) * block  # non-pow2 block sizes stay aligned
