@@ -46,9 +46,10 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
           generations: int = 20, alpha: float = 0.0, earlystop: bool = False,
           verbose: bool = True, proposal_width: float = 1.0,
           parallel: bool = True, cost_vectorized: bool = False,
-          key=0) -> ABCDEResult:
+          mesh=None, key=0) -> ABCDEResult:
     """Signature/defaults mirror the reference (smc.jl:347).
-    ``cost_vectorized``: cost takes (pushed_batch, key)."""
+    ``cost_vectorized``: cost takes (pushed_batch, key). ``mesh``: shard
+    the population over a mesh ``walker`` axis."""
     if not (0 <= alpha < 1):
         raise ValueError("alpha must be in 0 <= alpha < 1.")
     del parallel
@@ -125,10 +126,14 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         lps = jnp.where(commit, lpp, lps)
         return thetas, lps, ds, nsims
 
+    from ..parallel.mesh import constrainer
+    constrain = constrainer(mesh, "walker")
+
     def body(state):
         key, thetas, lps, ds, nsims, it = state
         key, sub = jax.random.split(key)
         thetas, lps, ds, nsims = generation(sub, thetas, lps, ds, nsims)
+        thetas = constrain(thetas)
         if verbose:
             jax.debug.print(
                 "ABCDE gen={it} completion={c} eps_range=({lo},{hi})",

@@ -83,10 +83,12 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             epstol: float = -jnp.inf, max_iters: float = jnp.inf,
             proposal_width: float = 0.75, inner_retry: int = 200,
             verbose: bool = False, parallel: bool = True,
-            cost_vectorized: bool = False, key=0) -> PFilterResult:
+            cost_vectorized: bool = False, mesh=None,
+            key=0) -> PFilterResult:
     """Signature/defaults mirror the reference (smc.jl:275). ``inner_retry``
     bounds the per-sweep rejection rounds (the reference's loop is
-    unbounded). ``cost_vectorized``: cost takes (pushed_batch, key)."""
+    unbounded). ``cost_vectorized``: cost takes (pushed_batch, key).
+    ``mesh``: shard the population over a mesh ``walker`` axis."""
     del parallel
     d = prior.nparams
     low_n = 4 * d
@@ -133,6 +135,9 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
         nreps = jnp.sum(active)  # every attempt counts (smc.jl:313)
         return thetas, lps, cs, accept, nreps
 
+    from ..parallel.mesh import constrainer
+    constrain = constrainer(mesh, "walker")
+
     def outer_body(state):
         key, thetas, lps, cs, it, _eff, _eps, done = state
         key, ksweep = jax.random.split(key)
@@ -163,7 +168,8 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             jax.debug.print("pfilter it={it} eps={eps} eff={eff}",
                             it=it, eps=eps, eff=eff)
         done = (eff < eff_tol) | (eps < epstol) | (it > max_iters)
-        return key, thetas, lps, cs, it, eff, eps, done
+        return (key, constrain(thetas), constrain(lps), constrain(cs),
+                it, eff, eps, done)
 
     def outer_cond(state):
         *_, it, _eff, _eps, done = state
@@ -173,6 +179,7 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
         kinit, kloop = jax.random.split(key)
         thetas, lps, cs, ok = _init_with_retry(
             prior, cost2, n, kinit, cost_vectorized=cost_vectorized)
+        thetas = constrain(thetas)
         state = (kloop, thetas, lps, cs, jnp.int32(0),
                  jnp.asarray(jnp.inf, _f32), jnp.asarray(jnp.inf, _f32),
                  jnp.asarray(False))

@@ -74,3 +74,18 @@ def test_ais_chain_mesh():
                     mesh=mesh, key=5)
     assert len(res) == 8 * 50
     assert res.map(lambda m: m * m + 1).approx(1.5)
+
+
+def test_pfilter_abcde_sharded():
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    pri = ka.Uniform(-10, 10)
+
+    def cost(x, key):
+        return jnp.abs(x + 0.1 * jax.random.normal(key))
+
+    r1 = ka.pfilter(pri, cost, 512, mesh=mesh, verbose=False, key=6)
+    assert r1.P.approx(0.0, atol=0.3)
+    r2 = ka.ABCDE(pri, cost, 0.1, nparticles=256, generations=200,
+                  mesh=mesh, verbose=False, key=7)
+    assert r2.P.approx(0.0, atol=0.3)
