@@ -332,6 +332,11 @@ class StudentT(Distribution):
         return self._lnorm - (nu + 1) / 2 * jnp.log1p(x * x / nu)
 
 
+# Distributions.jl's name for the standard Student t (re-export parity,
+# reference KissABC.jl:13-14)
+TDist = StudentT
+
+
 @dist("alpha", "theta")
 class Weibull(Distribution):
     """Shape ``alpha``, scale ``theta``."""
@@ -358,6 +363,155 @@ class Weibull(Distribution):
 
     def quantile(self, q):
         return self.theta * (-jnp.log1p(-q)) ** (1.0 / self.alpha)
+
+
+@dist("nu")
+class Chisq(Distribution):
+    """Chi-squared with ``nu`` degrees of freedom (= Gamma(nu/2, 2))."""
+
+    def _post_init(self):
+        nu = float(self.nu)
+        object.__setattr__(self, "_lnorm", _f32(
+            sps.gammaln(nu / 2) + (nu / 2) * np.log(2.0)))
+
+    def sample(self, key, shape=()):
+        return jax.random.chisquare(key, self.nu, shape)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = (self.nu / 2 - 1) * jnp.log(xs) - xs / 2 - self._lnorm
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        return gammainc(self.nu / 2, jnp.maximum(x, 0.0) / 2)
+
+    def quantile(self, q):
+        hi = float(self.nu + 12 * np.sqrt(2 * float(self.nu)) + 12)
+        return _bisect_quantile(self.cdf, 0.0, hi, q)
+
+
+@dist("nu1", "nu2")
+class FDist(Distribution):
+    """Fisher–Snedecor F(nu1, nu2)."""
+
+    def _post_init(self):
+        n1, n2 = float(self.nu1), float(self.nu2)
+        object.__setattr__(self, "_lnorm", _f32(
+            sps.betaln(n1 / 2, n2 / 2) - (n1 / 2) * np.log(n1 / n2)))
+
+    def sample(self, key, shape=()):
+        return jax.random.f(key, self.nu1, self.nu2, shape)
+
+    def logpdf(self, x):
+        n1, n2 = self.nu1, self.nu2
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = ((n1 / 2 - 1) * jnp.log(xs)
+              - (n1 + n2) / 2 * jnp.log1p(n1 * xs / n2) - self._lnorm)
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        xs = jnp.maximum(x, 0.0)
+        z = self.nu1 * xs / (self.nu1 * xs + self.nu2)
+        return betainc(self.nu1 / 2, self.nu2 / 2, z)
+
+
+@dist("mu", "theta")
+class Logistic(Distribution):
+    """Location ``mu``, scale ``theta``."""
+
+    def _post_init(self):
+        object.__setattr__(self, "_ltheta", _f32(np.log(self.theta)))
+
+    def sample(self, key, shape=()):
+        return self.mu + self.theta * jax.random.logistic(key, shape)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.theta
+        az = jnp.abs(z)
+        return -az - 2.0 * jnp.log1p(jnp.exp(-az)) - self._ltheta
+
+    def cdf(self, x):
+        return jax.nn.sigmoid((x - self.mu) / self.theta)
+
+    def quantile(self, q):
+        return self.mu + self.theta * (jnp.log(q) - jnp.log1p(-q))
+
+
+@dist("sigma")
+class Rayleigh(Distribution):
+    def _post_init(self):
+        object.__setattr__(self, "_l2s", _f32(2.0 * np.log(self.sigma)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.sigma * jnp.sqrt(-2.0 * jnp.log1p(-u))
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        z2 = (xs * xs) / (self.sigma * self.sigma)
+        return jnp.where(ok, jnp.log(xs) - self._l2s - 0.5 * z2, _NEG_INF)
+
+    def cdf(self, x):
+        xs = jnp.maximum(x, 0.0)
+        return -jnp.expm1(-0.5 * (xs / self.sigma) ** 2)
+
+    def quantile(self, q):
+        return self.sigma * jnp.sqrt(-2.0 * jnp.log1p(-q))
+
+
+@dist("alpha", "theta")
+class Pareto(Distribution):
+    """Shape ``alpha``, scale (left edge) ``theta``; support x >= theta."""
+
+    def _post_init(self):
+        a, t = float(self.alpha), float(self.theta)
+        object.__setattr__(self, "_lnorm", _f32(np.log(a) + a * np.log(t)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.theta * jnp.exp(-jnp.log1p(-u) / self.alpha)
+
+    def logpdf(self, x):
+        ok = x >= self.theta
+        xs = jnp.where(ok, x, self.theta)
+        return jnp.where(ok, self._lnorm - (self.alpha + 1) * jnp.log(xs),
+                         _NEG_INF)
+
+    def cdf(self, x):
+        xs = jnp.maximum(x, self.theta)
+        return 1.0 - (self.theta / xs) ** self.alpha
+
+    def quantile(self, q):
+        return self.theta * jnp.exp(-jnp.log1p(-q) / self.alpha)
+
+
+@dist("alpha", "theta")
+class InverseGamma(Distribution):
+    """Shape ``alpha``, scale ``theta``: X = theta / Gamma(alpha, 1)."""
+
+    def _post_init(self):
+        a, t = float(self.alpha), float(self.theta)
+        object.__setattr__(self, "_lnorm", _f32(
+            sps.gammaln(a) - a * np.log(t)))
+
+    def sample(self, key, shape=()):
+        return self.theta / jax.random.gamma(key, self.alpha, shape)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = -(self.alpha + 1) * jnp.log(xs) - self.theta / xs - self._lnorm
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammaincc
+        xs = jnp.maximum(x, np.float32(1e-37))
+        return gammaincc(self.alpha, self.theta / xs)
 
 
 @dist("n", "p")
@@ -427,6 +581,28 @@ def _host_cdf(base: Distribution, x: float) -> float:
     raise TypeError(f"Truncated: no host cdf for {type(base).__name__}")
 
 
+def _host_sf(base: Distribution, x: float) -> float:
+    """Host-side survival function 1-cdf, computed WITHOUT cancellation so
+    far-upper-tail truncation windows keep full f64 precision."""
+    x = float(x)
+    if isinstance(base, Normal):
+        return float(sps.ndtr(-(x - float(base.mu)) / float(base.sigma)))
+    if isinstance(base, Uniform):
+        return float(np.clip((base.b - x) / (base.b - base.a), 0.0, 1.0))
+    if isinstance(base, Exponential):
+        return float(np.exp(-max(x, 0.0) / base.theta))
+    if isinstance(base, LogNormal):
+        if x <= 0:
+            return 1.0
+        return float(sps.ndtr(-(np.log(x) - base.mu) / base.sigma))
+    if isinstance(base, Gamma):
+        return float(sps.gammaincc(base.alpha, max(x, 0.0) / base.theta))
+    if isinstance(base, Beta):
+        return float(1.0 - sps.betainc(base.alpha, base.beta,
+                                       min(max(x, 0.0), 1.0)))
+    raise TypeError(f"Truncated: no host sf for {type(base).__name__}")
+
+
 class Truncated(Distribution):
     """Truncation of a base distribution with a ``quantile`` to [lo, hi] —
     covers the reference's ``Truncated(Normal(0,0.05),0,100)`` usage
@@ -442,11 +618,44 @@ class Truncated(Distribution):
     def _post_init(self):
         clo = _host_cdf(self.base, self.lo)
         chi = _host_cdf(self.base, self.hi)
+        slo = _host_sf(self.base, self.lo)
+        shi = _host_sf(self.base, self.hi)
+        # the window mass in f64 from whichever tail representation keeps
+        # precision: cdf values cancel catastrophically near 1 (upper
+        # tail), survival values near 1 (lower tail) — pick by location
+        mass = (slo - shi) if clo > 0.5 else (chi - clo)
+        if not mass > 0.0:
+            raise ValueError(
+                f"Truncated({self.base!r}, {self.lo}, {self.hi}): the "
+                "truncation window has zero probability mass (underflow); "
+                "widen the window or reparameterize.")
         object.__setattr__(self, "_clo", _f32(clo))
         object.__setattr__(self, "_chi", _f32(chi))
-        object.__setattr__(self, "_lz", _f32(np.log(chi - clo)))
+        object.__setattr__(self, "_slo", _f32(slo))
+        object.__setattr__(self, "_shi", _f32(shi))
+        object.__setattr__(self, "_mass", _f32(mass))
+        object.__setattr__(self, "_lz", _f32(np.log(mass)))
+        # pick the sampling domain that is non-degenerate in f32: far
+        # upper-tail windows collapse in cdf space (cdf -> 1.0f) but stay
+        # exactly representable in survival space (tiny positives)
+        object.__setattr__(self, "_use_sf", bool(_f32(chi) == _f32(clo)))
 
     def sample(self, key, shape=()):
+        if self._use_sf:
+            if self._shi == self._slo:
+                raise ValueError(
+                    f"{self!r}: truncation window is degenerate in float32 "
+                    "in both cdf and survival space; widen the window.")
+            if not isinstance(self.base, Normal):
+                raise ValueError(
+                    f"{self!r}: far-tail window sampling needs a precise "
+                    "inverse survival function (available for Normal "
+                    "bases); widen the window or standardize first.")
+            # N(mu, s): quantile_sf(u) = mu - s*ndtri(u), exact for tiny u
+            u = jax.random.uniform(key, shape, jnp.float32,
+                                   self._shi, self._slo)
+            x = self.base.mu - self.base.sigma * ndtri(u)
+            return jnp.clip(x, self.lo, self.hi)
         u = jax.random.uniform(key, shape, jnp.float32, self._clo, self._chi)
         return jnp.clip(self.base.quantile(u), self.lo, self.hi)
 
@@ -714,6 +923,122 @@ def IID(d: Distribution, n: int) -> Product:
     return Product([d] * n)
 
 
+class Dirichlet(Distribution):
+    """Dirichlet over the (k-1)-simplex; ``alpha`` is a host vector.
+    Re-export parity with Distributions.jl (reference KissABC.jl:13-14)."""
+
+    event_dim = 1
+
+    def __init__(self, alpha):
+        a = np.asarray(alpha, _f32)
+        if a.ndim == 0:
+            raise ValueError("Dirichlet needs a concentration vector")
+        object.__setattr__(self, "alpha", a)
+        self._post_init()
+
+    def _post_init(self):
+        a = np.asarray(self.alpha, np.float64)
+        object.__setattr__(self, "_lnorm", _f32(
+            np.sum(sps.gammaln(a)) - sps.gammaln(np.sum(a))))
+
+    @property
+    def nparams(self):
+        return self.alpha.shape[0]
+
+    def sample(self, key, shape=()):
+        return jax.random.dirichlet(key, self.alpha, shape)
+
+    def logpdf(self, x):
+        inside = jnp.all(x > 0, axis=-1) & \
+            (jnp.abs(jnp.sum(x, axis=-1) - 1.0) < np.float32(1e-4))
+        xs = jnp.clip(x, np.float32(1e-37), 1.0)
+        lp = jnp.sum((self.alpha - 1.0) * jnp.log(xs), axis=-1) - self._lnorm
+        return jnp.where(inside, lp, _NEG_INF)
+
+    def __repr__(self):
+        return f"Dirichlet(alpha={self.alpha})"
+
+
+def _dir_flatten(d):
+    return (), (d.alpha.tobytes(), d.alpha.shape)
+
+
+def _dir_unflatten(aux, _):
+    obj = object.__new__(Dirichlet)
+    object.__setattr__(obj, "alpha",
+                       np.frombuffer(aux[0], dtype=_f32).reshape(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Dirichlet, _dir_flatten, _dir_unflatten)
+
+
+class Multinomial(Distribution):
+    """Multinomial(n, p): counts over ``len(p)`` classes summing to n.
+    Re-export parity with Distributions.jl (reference KissABC.jl:13-14).
+    Note: float-evolved count vectors are pushed per-component
+    (round-half-even); vectors whose pushed sum != n get logpdf -inf, so
+    off-simplex proposals are rejected by the prior gate."""
+
+    discrete = True
+    event_dim = 1
+
+    def __init__(self, n, p):
+        object.__setattr__(self, "n", int(n))
+        object.__setattr__(self, "p", np.asarray(p, _f32))
+        self._post_init()
+
+    def _post_init(self):
+        p = np.asarray(self.p, np.float64)
+        p = p / p.sum()
+        logp = np.full(p.shape, -np.inf)
+        np.log(p, out=logp, where=p > 0)
+        object.__setattr__(self, "_pnorm", p.astype(_f32))
+        object.__setattr__(self, "_logp", logp.astype(_f32))
+        object.__setattr__(self, "_lgn1", _f32(sps.gammaln(self.n + 1)))
+
+    @property
+    def nparams(self):
+        return self.p.shape[0]
+
+    def sample(self, key, shape=()):
+        k = self._pnorm.shape[0]
+        return jax.random.multinomial(
+            key, np.float32(self.n), self._pnorm, shape=shape + (k,))
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        ok = jnp.all(xf >= 0, axis=-1) & \
+            (jnp.abs(jnp.sum(xf, axis=-1) - self.n) < np.float32(0.5)) & \
+            jnp.all((self._pnorm > 0) | (xf == 0), axis=-1)
+        xs = jnp.maximum(xf, 0.0)
+        logp = jnp.where(self._pnorm > 0, self._logp, 0.0)
+        lp = (self._lgn1 - jnp.sum(gammaln(xs + 1.0), axis=-1)
+              + jnp.sum(xs * logp, axis=-1))
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def __repr__(self):
+        return f"Multinomial(n={self.n}, p={self.p})"
+
+
+def _multi_flatten(d):
+    return (), (d.n, d.p.tobytes(), d.p.shape)
+
+
+def _multi_unflatten(aux, _):
+    obj = object.__new__(Multinomial)
+    object.__setattr__(obj, "n", aux[0])
+    object.__setattr__(obj, "p",
+                       np.frombuffer(aux[1], dtype=_f32).reshape(aux[2]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Multinomial, _multi_flatten,
+                                   _multi_unflatten)
+
+
 # --------------------------------------------------------------------------
 # Factored — the reference's own mixed-support product prior
 # --------------------------------------------------------------------------
@@ -787,8 +1112,10 @@ jax.tree_util.register_pytree_node(Factored, _fact_flatten, _fact_unflatten)
 
 __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
-    "LogNormal", "Laplace", "Cauchy", "StudentT", "Weibull", "Truncated",
-    "TruncatedNormal", "DiscreteUniform", "Binomial", "Geometric",
-    "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
-    "MultivariateNormal", "Product", "IID", "Factored",
+    "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
+    "Chisq", "FDist", "Logistic", "Rayleigh", "Pareto", "InverseGamma",
+    "Truncated", "TruncatedNormal", "DiscreteUniform", "Binomial",
+    "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
+    "MultivariateNormal", "Product", "IID", "Dirichlet", "Multinomial",
+    "Factored",
 ]

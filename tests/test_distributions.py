@@ -227,3 +227,136 @@ def test_geometric():
     ks = np.arange(0, 15)
     np.testing.assert_allclose(
         np.asarray(d.logpdf(ks)), st.geom(0.3, loc=-1).logpmf(ks), rtol=1e-4)
+
+
+def test_chisq():
+    d = ka.Chisq(5.0)
+    x = draws(d)
+    assert abs(x.mean() - 5.0) < 0.1
+    xs = np.array([1.0, 4.0, 11.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.chi2(5).logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-0.5)) == -np.inf
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(xs)), st.chi2(5).cdf(xs), atol=1e-5)
+    assert abs(float(d.quantile(0.7)) - st.chi2(5).ppf(0.7)) < 1e-3
+
+
+def test_tdist_alias():
+    assert ka.TDist is ka.StudentT
+    d = ka.TDist(4.0)
+    xs = np.array([-2.0, 0.0, 1.5])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.t(4).logpdf(xs), rtol=1e-4)
+
+
+def test_fdist():
+    d = ka.FDist(6.0, 14.0)
+    x = draws(d)
+    assert abs(x.mean() - 14.0 / 12.0) < 0.05
+    xs = np.array([0.3, 1.0, 2.5])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.f(6, 14).logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-1.0)) == -np.inf
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(xs)), st.f(6, 14).cdf(xs), atol=1e-5)
+
+
+def test_logistic():
+    d = ka.Logistic(1.0, 2.0)
+    x = draws(d)
+    assert abs(x.mean() - 1.0) < 0.1
+    xs = np.array([-4.0, 1.0, 7.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), st.logistic(1, 2).logpdf(xs), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(xs)), st.logistic(1, 2).cdf(xs), atol=1e-5)
+    assert abs(float(d.quantile(0.9)) - st.logistic(1, 2).ppf(0.9)) < 1e-3
+
+
+def test_rayleigh():
+    d = ka.Rayleigh(1.5)
+    x = draws(d)
+    ref = st.rayleigh(scale=1.5)
+    assert abs(x.mean() - ref.mean()) < 0.03
+    xs = np.array([0.5, 1.5, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-0.1)) == -np.inf
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), atol=1e-5)
+
+
+def test_pareto():
+    d = ka.Pareto(3.0, 2.0)
+    x = draws(d)
+    ref = st.pareto(3, scale=2)
+    assert x.min() >= 2.0
+    assert abs(x.mean() - ref.mean()) < 0.05
+    xs = np.array([2.1, 3.0, 8.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(1.9)) == -np.inf
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), atol=1e-5)
+
+
+def test_inverse_gamma():
+    d = ka.InverseGamma(4.0, 3.0)
+    x = draws(d)
+    ref = st.invgamma(4, scale=3)
+    assert abs(x.mean() - ref.mean()) < 0.02
+    xs = np.array([0.4, 1.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-1.0)) == -np.inf
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), atol=2e-5)
+
+
+def test_dirichlet():
+    alpha = np.array([2.0, 5.0, 3.0])
+    d = ka.Dirichlet(alpha)
+    assert d.nparams == 3
+    x = draws(d)
+    np.testing.assert_allclose(x.sum(axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(x.mean(axis=0), alpha / alpha.sum(), atol=0.01)
+    pt = np.array([0.2, 0.5, 0.3], np.float32)
+    np.testing.assert_allclose(
+        float(d.logpdf(pt)), st.dirichlet(alpha).logpdf(pt), rtol=1e-4)
+    off = np.array([0.2, 0.5, 0.4], np.float32)  # sums to 1.1
+    assert float(d.logpdf(off)) == -np.inf
+    neg = np.array([-0.1, 0.6, 0.5], np.float32)
+    assert float(d.logpdf(neg)) == -np.inf
+
+
+def test_multinomial():
+    p = np.array([0.2, 0.5, 0.3])
+    d = ka.Multinomial(10, p)
+    assert d.discrete and d.nparams == 3
+    x = draws(d, n=5000)
+    np.testing.assert_allclose(x.sum(axis=-1), 10.0, atol=1e-5)
+    np.testing.assert_allclose(x.mean(axis=0), 10 * p, atol=0.15)
+    pt = np.array([2.0, 5.0, 3.0])
+    np.testing.assert_allclose(
+        float(d.logpdf(pt)), st.multinomial(10, p).logpmf(pt), rtol=1e-4)
+    assert float(d.logpdf(np.array([2.0, 5.0, 4.0]))) == -np.inf  # sum 11
+    assert float(d.logpdf(np.array([-1.0, 8.0, 3.0]))) == -np.inf
+    # a zero-probability class with a nonzero count is impossible
+    dz = ka.Multinomial(4, np.array([0.5, 0.5, 0.0]))
+    assert float(dz.logpdf(np.array([2.0, 1.0, 1.0]))) == -np.inf
+    assert np.isfinite(float(dz.logpdf(np.array([3.0, 1.0, 0.0]))))
+
+
+def test_truncated_far_tail_log_space():
+    # reference ADVICE: Truncated(Normal(0,1), 8, 9) used to underflow to
+    # _lz = -inf (linear-space cdf difference); now computed in survival
+    # space, and sampling switches to the sf domain
+    d = ka.Truncated(ka.Normal(0.0, 1.0), 8.0, 9.0)
+    ref = st.truncnorm(8.0, 9.0)
+    xs = np.array([8.1, 8.4, 8.9])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-3)
+    x = draws(d, n=4000)
+    assert x.min() >= 8.0 and x.max() <= 9.0
+    assert abs(x.mean() - ref.mean()) < 0.01
+    # a window with truly zero f64 mass raises instead of going -inf
+    with pytest.raises(ValueError):
+        ka.Truncated(ka.Normal(0.0, 1.0), 40.0, 41.0)
