@@ -46,12 +46,21 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
           generations: int = 20, alpha: float = 0.0, earlystop: bool = False,
           verbose: bool = True, proposal_width: float = 1.0,
           parallel: bool = True, cost_vectorized: bool = False,
-          mesh=None, key=0) -> ABCDEResult:
+          mesh=None, cost_on: str = "raw", key=0) -> ABCDEResult:
     """Signature/defaults mirror the reference (smc.jl:347).
-    ``cost_vectorized``: cost takes (pushed_batch, key). ``mesh``: shard
-    the population over a mesh ``walker`` axis."""
+    ``cost_vectorized``: cost takes (theta_batch, key). ``mesh``: shard
+    the population over a mesh ``walker`` axis.
+
+    ``cost_on``: ``'raw'`` (default) evaluates cost on the RAW float
+    particle, exactly the reference's ``cost(θs[i].x)`` / ``cost(θp.x)``
+    (smc.jl:358-363,405) — only ``logpdf`` sees the pushed value.
+    ``'pushed'`` snaps discrete marginals before the simulator (documented
+    extension; see docs/design.md parity notes and ``pfilter``)."""
     if not (0 <= alpha < 1):
         raise ValueError("alpha must be in 0 <= alpha < 1.")
+    if cost_on not in ("raw", "pushed"):
+        raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
+    push_cost = cost_on == "pushed"
     del parallel
     n = nparticles
     d = prior.nparams
@@ -59,11 +68,12 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
     cost2 = cost if cost_vectorized else _adapt_cost(cost)
 
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    ctree = prior.push_tree if push_cost else (lambda th: th)
     if cost_vectorized:
-        _vpush = jax.vmap(prior.push_tree)
+        _vpush = jax.vmap(ctree)
         vcost = lambda ths, key: cost2(_vpush(ths), key)
     else:
-        _vc = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        _vc = jax.vmap(lambda th, k: cost2(ctree(th), k))
         vcost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def generation(key, thetas, lps, ds, nsims):
@@ -151,7 +161,8 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
     def program(key):
         kinit, kloop = jax.random.split(key)
         thetas, lps, ds, ok = _init_with_retry(
-            prior, cost2, n, kinit, cost_vectorized=cost_vectorized)
+            prior, cost2, n, kinit, cost_vectorized=cost_vectorized,
+            push_cost=push_cost)
         state = (kloop, thetas, lps, ds, jnp.zeros((n,), jnp.int32),
                  jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)

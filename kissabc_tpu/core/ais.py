@@ -278,7 +278,7 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                discard_initial: int = 0, retry_sampling: int = 100,
                key=0, kernel=mixture_one, mesh=None, progress: bool = False,
-               schedule: str = "red_black"):
+               partner_scheme="auto", schedule: str = "red_black"):
     """Run AIS and return (pushed sample pytree with leading axis [ns],
     valid_mask) — the array-level API under ``sample``.
 
@@ -293,7 +293,8 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         run = make_run(model, sampler, ns, ntransitions=ntransitions,
                        discard_initial=discard_initial,
                        retry_sampling=retry_sampling, kernel=kernel,
-                       mesh=mesh, progress=progress)
+                       mesh=mesh, partner_scheme=partner_scheme,
+                       progress=progress)
     else:
         raise ValueError(
             f"schedule must be 'red_black' or 'sequential', got {schedule!r}")
@@ -324,8 +325,12 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling,
             key=key, kernel=kernel, mesh=mesh, progress=progress,
-            schedule=schedule)
+            partner_scheme=partner_scheme, schedule=schedule)
         return particles_from_tree(flat)
+    if schedule != "red_black":
+        raise ValueError(
+            "schedule='sequential' is single-chain only; drop chains= or "
+            "use the default red_black schedule")
 
     # multi-chain: a vmapped chain axis (the MCMCThreads analogue,
     # KissABC.jl:9), shardable over a mesh `chain` axis.

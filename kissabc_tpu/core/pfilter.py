@@ -37,13 +37,17 @@ class PFilterResult(NamedTuple):
     C: Particles
     eps: float
     iterations: int
+    unfixed: int = 0
 
 
 def _init_with_retry(prior, cost2, n, key, max_rounds=1000,
-                     cost_vectorized=False):
+                     cost_vectorized=False, push_cost=False):
     """Init with per-particle redraw until (logpdf, cost) are finite —
-    the reference's unbounded while at smc.jl:283-294, bounded here."""
+    the reference's unbounded while at smc.jl:283-294, bounded here.
+    ``push_cost=False`` evaluates cost on the RAW float tree, exactly the
+    reference's ``cost(sample[i].x)`` (smc.jl:287-292)."""
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    ctree = prior.push_tree if push_cost else (lambda th: th)
 
     def draw_all(k):
         kd, kc = jax.random.split(k)
@@ -51,9 +55,9 @@ def _init_with_retry(prior, cost2, n, key, max_rounds=1000,
             jax.random.split(kd, n))
         lps = jnp.asarray(vlog(ths), _f32)
         if cost_vectorized:
-            cs = cost2(jax.vmap(prior.push_tree)(ths), kc)
+            cs = cost2(jax.vmap(ctree)(ths), kc)
         else:
-            cs = jax.vmap(lambda th, kk: cost2(prior.push_tree(th), kk))(
+            cs = jax.vmap(lambda th, kk: cost2(ctree(th), kk))(
                 ths, jax.random.split(kc, n))
         return ths, lps, jnp.asarray(cs, _f32)
 
@@ -84,12 +88,24 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             proposal_width: float = 0.75, inner_retry: int = 200,
             verbose: bool = False, parallel: bool = True,
             cost_vectorized: bool = False, mesh=None,
-            key=0) -> PFilterResult:
+            cost_on: str = "raw", key=0) -> PFilterResult:
     """Signature/defaults mirror the reference (smc.jl:275). ``inner_retry``
     bounds the per-sweep rejection rounds (the reference's loop is
-    unbounded). ``cost_vectorized``: cost takes (pushed_batch, key).
-    ``mesh``: shard the population over a mesh ``walker`` axis."""
+    unbounded). ``cost_vectorized``: cost takes (theta_batch, key).
+    ``mesh``: shard the population over a mesh ``walker`` axis.
+
+    ``cost_on``: ``'raw'`` (default) evaluates the cost on the RAW float
+    particle — exactly the reference, which calls ``cost(sample[i].x)`` /
+    ``cost(p.x)`` un-pushed while only ``logpdf`` sees the pushed value
+    (smc.jl:289,308-317); for discrete priors the simulator therefore
+    receives the un-snapped float marginal. ``'pushed'`` snaps first
+    (integer-valued discrete params), which is usually what a discrete
+    model intends — a deliberate, documented extension
+    (docs/design.md, parity notes)."""
     del parallel
+    if cost_on not in ("raw", "pushed"):
+        raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
+    push_cost = cost_on == "pushed"
     d = prior.nparams
     low_n = 4 * d
     if N * q <= low_n:
@@ -99,11 +115,12 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
     max_outer = 100_000 if math.isinf(max_iters) else int(max_iters) + 1
 
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
+    ctree = prior.push_tree if push_cost else (lambda th: th)
     if cost_vectorized:
-        _vpush = jax.vmap(prior.push_tree)
+        _vpush = jax.vmap(ctree)
         vcost = lambda ths, key: cost2(_vpush(ths), key)
     else:
-        _vc = jax.vmap(lambda th, k: cost2(prior.push_tree(th), k))
+        _vc = jax.vmap(lambda th, k: cost2(ctree(th), k))
         vcost = lambda ths, key: _vc(ths, jax.random.split(key, n))
 
     def regen_round(key, thetas, lps, cs, good, order, active, eps):
@@ -139,7 +156,7 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
     constrain = constrainer(mesh, "walker")
 
     def outer_body(state):
-        key, thetas, lps, cs, it, _eff, _eps, done = state
+        key, thetas, lps, cs, it, _eff, _eps, _unfixed, done = state
         key, ksweep = jax.random.split(key)
         it = it + 1
         eps = quantile(cs, q)
@@ -159,43 +176,57 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
                 sub, th, lp, cx, good, order, active, eps)
             return t + 1, active & ~fixed, th, lp, cx, reps + nreps, k
 
-        _, _, thetas, lps, cs, reps, _ = jax.lax.while_loop(
+        _, active, thetas, lps, cs, reps, _ = jax.lax.while_loop(
             inner_cond, inner_body,
             (jnp.int32(0), bad, thetas, lps, cs, jnp.int32(0), ksweep))
 
+        # particles the bounded rejection loop could NOT regenerate (the
+        # reference's unbounded @goto loop guarantees zero; surfaced so a
+        # hard-to-hit threshold can't silently degrade the population)
+        unfixed = jnp.sum(active)
         eff = nbad.astype(_f32) / jnp.maximum(reps, 1).astype(_f32)
         if verbose:
             jax.debug.print("pfilter it={it} eps={eps} eff={eff}",
                             it=it, eps=eps, eff=eff)
         done = (eff < eff_tol) | (eps < epstol) | (it > max_iters)
         return (key, constrain(thetas), constrain(lps), constrain(cs),
-                it, eff, eps, done)
+                it, eff, eps, unfixed, done)
 
     def outer_cond(state):
-        *_, it, _eff, _eps, done = state
+        *_, it, _eff, _eps, _unfixed, done = state
         return ~done & (it < max_outer)
 
     def program(key):
         kinit, kloop = jax.random.split(key)
         thetas, lps, cs, ok = _init_with_retry(
-            prior, cost2, n, kinit, cost_vectorized=cost_vectorized)
+            prior, cost2, n, kinit, cost_vectorized=cost_vectorized,
+            push_cost=push_cost)
         thetas = constrain(thetas)
         state = (kloop, thetas, lps, cs, jnp.int32(0),
                  jnp.asarray(jnp.inf, _f32), jnp.asarray(jnp.inf, _f32),
-                 jnp.asarray(False))
+                 jnp.int32(0), jnp.asarray(False))
         state = jax.lax.while_loop(outer_cond, outer_body, state)
-        _, thetas, lps, cs, it, _eff, eps, _ = state
+        _, thetas, lps, cs, it, _eff, eps, unfixed, _ = state
         pushed = jax.vmap(prior.push_tree)(thetas)
-        return pushed, cs, eps, it, ok
+        return pushed, cs, eps, it, unfixed, ok
 
-    pushed, cs, eps, it, ok = jax.jit(program)(as_key(key))
+    pushed, cs, eps, it, unfixed, ok = jax.jit(program)(as_key(key))
     if not bool(jnp.all(ok)):
         raise RuntimeError(
             "Prior leads to infinite costs too often; could not initialize "
             "a finite population.")
+    unfixed = int(unfixed)
+    if unfixed:
+        import warnings
+        warnings.warn(
+            f"pfilter: {unfixed} particle(s) still above eps after "
+            f"inner_retry={inner_retry} rejection rounds in the final "
+            "sweep; raise inner_retry or loosen the threshold.",
+            RuntimeWarning, stacklevel=2)
     return PFilterResult(
         P=particles_from_tree(fetch_tree(pushed)),
         C=Particles(fetch(cs)),
         eps=float(eps),
         iterations=int(it),
+        unfixed=unfixed,
     )

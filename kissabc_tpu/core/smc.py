@@ -272,7 +272,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
                 r_epstol: float | None = None, min_r_ess: float | None = None,
                 max_stretch: float = 2.0, max_iters: int = 10_000,
                 resample: str = "replicate", checkpoint_every: int = 10,
-                cost_vectorized: bool = False,
+                cost_vectorized: bool = False, mesh=None,
                 partner_scheme: str = "auto", key=0) -> SMCResult:
     """Host-stepped smc: the same algorithm as ``smc`` but with the outer
     adaptive loop driven from the host, enabling (a) per-iteration
@@ -280,7 +280,11 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
     (b) checkpoint/resume: state is persisted to ``checkpoint_path``
     every ``checkpoint_every`` iterations and with ``resume=True`` a run
     continues from the last saved state (useful for expensive
-    simulators; the reference has no such mechanism, SURVEY §5)."""
+    simulators; the reference has no such mechanism, SURVEY §5).
+    ``mesh``: shard the population over a mesh ``walker`` axis exactly
+    like ``smc(mesh=...)`` — checkpoints are device-agnostic host
+    arrays, so a run may be checkpointed on one mesh and resumed on
+    another (or on a single chip)."""
     import os
 
     from ..utils import checkpoint as ckpt
@@ -291,12 +295,14 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         max_stretch=max_stretch, resample=resample,
         partner_scheme=partner_scheme)
 
+    from ..parallel.mesh import constrainer
     program = _smc_program(
         prior, cost if cost_vectorized else _adapt_cost(cost),
         nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
         mcmc_tol=mcmc_tol, epstol=epstol, r_epstol=r_epstol,
         min_r_ess=min_r_ess, max_stretch=max_stretch, max_iters=max_iters,
         resample=resample, verbose=False,
+        constrain=constrainer(mesh, "walker"),
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
 
     init_state = jax.jit(program.init_state)

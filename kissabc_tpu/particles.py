@@ -53,12 +53,15 @@ class Particles:
 
     # --- statistical approx (the reference tests' ``≈``) ------------------
     def approx(self, other, nsig=2.0, atol=0.0):
-        """|mean(self) - mean(other)| <= nsig*std(self) + atol."""
+        """MonteCarloMeasurements' ``isapprox``: two-sided in std —
+        |mean(a) - mean(b)| <= nsig * max(std(a), std(b)) (+ atol), and
+        nsig * std(self) against a plain number (cf. reference
+        test/runtests.jl:84,110 usage)."""
         if isinstance(other, Particles):
-            om = other.mean()
+            om, osd = other.mean(), other.std()
         else:
-            om = float(other)
-        return abs(self.mean() - om) <= nsig * self.std() + atol
+            om, osd = float(other), 0.0
+        return abs(self.mean() - om) <= nsig * max(self.std(), osd) + atol
 
     # --- elementwise algebra / function propagation -----------------------
     def map(self, f):

@@ -65,3 +65,68 @@ def test_pfilter_epstol_stop():
     res = ka.pfilter(pri, cost, 100, epstol=0.5, eff_tol=0.0,
                      max_iters=50, verbose=False, key=6)
     assert res.eps < 0.5 or res.iterations >= 50
+
+
+def test_pfilter_discrete_prior_raw_cost():
+    """Reference parity (smc.jl:289,308-319): pfilter's cost sees the RAW
+    float particle — for a discrete prior the simulator receives the
+    un-snapped float marginal, while logpdf sees the pushed one. The
+    indicator cost below is >=1 on integers and ~0.01*|x-5| on the
+    fractional values only DE moves can produce, so eps < 1 is reachable
+    ONLY under raw-cost semantics."""
+    pri = ka.DiscreteUniform(0, 10)
+
+    def cost(x):
+        frac = jnp.abs(x - jnp.round(x))
+        return jnp.where(frac < 1e-6, 1.0 + 0.001 * jnp.abs(x - 5.0),
+                         0.01 * jnp.abs(x - 5.0))
+
+    res = ka.pfilter(pri, cost, 100, epstol=0.5, max_iters=50, key=3)
+    assert res.eps < 1.0  # impossible with pushed-cost semantics
+    assert float(np.max(res.C.particles)) < 1.0
+    # the returned posterior is still pushed (integer support)
+    vals = res.P.particles
+    np.testing.assert_allclose(vals, np.round(vals))
+
+    # cost_on='pushed' (documented extension): every cost stays at the
+    # integer-indicator value, eps can never drop below 1
+    res2 = ka.pfilter(pri, cost, 100, cost_on="pushed", max_iters=3, key=3)
+    assert res2.eps >= 1.0
+
+
+def test_abcde_discrete_prior_raw_cost():
+    """Same reference delta for ABCDE (smc.jl:358-363,405)."""
+    pri = ka.DiscreteUniform(0, 10)
+
+    def cost(x):
+        frac = jnp.abs(x - jnp.round(x))
+        return jnp.where(frac < 1e-6, 1.0 + 0.001 * jnp.abs(x - 5.0),
+                         0.01 * jnp.abs(x - 5.0))
+
+    res = ka.ABCDE(pri, cost, 0.04, nparticles=100, generations=300,
+                   verbose=False, key=5)
+    assert float(np.max(res.C.particles)) < 1.0
+    res2 = ka.ABCDE(pri, cost, 0.04, nparticles=100, generations=3,
+                    cost_on="pushed", verbose=False, key=5)
+    assert float(np.min(res2.C.particles)) >= 1.0
+
+
+def test_pfilter_unfixed_surfaced():
+    """ADVICE: particles the bounded rejection loop could not regenerate
+    must be surfaced, not silently returned."""
+    import warnings
+    pri = ka.Uniform(0, 1)
+    # near-impossible acceptance below the quantile: a cost that is pure
+    # noise makes regeneration easy, so instead make it constant — every
+    # proposal has the same cost, eps == cost, nothing is ever "bad".
+    # To force unfixed particles, use a cost with a tiny accept window.
+    cost = lambda x: jnp.where(x < 1e-7, 0.0, 1.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = ka.pfilter(pri, cost, 40, inner_retry=2, max_iters=1, key=0)
+    if res.unfixed:
+        assert any("inner_retry" in str(x.message) for x in w)
+    # normal easy problem: nothing unfixed, no warning
+    res_ok = ka.pfilter(pri, lambda x: jnp.abs(x - 0.5), 40,
+                        epstol=0.2, key=0)
+    assert res_ok.unfixed == 0

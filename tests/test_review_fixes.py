@@ -81,3 +81,28 @@ def test_chains_with_2d_mesh():
                     mesh=mesh, key=3)
     assert len(res) == 100
     assert res.map(lambda m: m * m + 1).approx(1.5)
+
+
+def test_partner_scheme_forwarded_single_chain():
+    """ADVICE r1: sample()/sample_raw() must forward partner_scheme on
+    the single-chain path — 'gather' vs 'roll' at the same key must give
+    different (but both correct) streams, proving the knob lands."""
+    pri = ka.Normal(1, 0.2)
+    abc = ka.ApproxKernelizedPosterior(
+        pri, lambda x: jnp.abs(x * x + 1 - 1.5), 0.005)
+    import numpy as np
+    a = ka.sample(abc, ka.AIS(64), 128, partner_scheme="roll", key=5)
+    b = ka.sample(abc, ka.AIS(64), 128, partner_scheme="gather", key=5)
+    assert not np.allclose(a.particles, b.particles)
+    assert a.map(lambda m: m * m + 1).approx(1.5, atol=0.05)
+    assert b.map(lambda m: m * m + 1).approx(1.5, atol=0.05)
+
+
+def test_sequential_schedule_with_chains_raises():
+    """ADVICE r1: schedule='sequential' silently ran red/black when
+    chains= was set; now it raises."""
+    pri = ka.Normal(1, 0.2)
+    abc = ka.ApproxKernelizedPosterior(
+        pri, lambda x: jnp.abs(x * x + 1 - 1.5), 0.005)
+    with pytest.raises(ValueError, match="sequential"):
+        ka.sample(abc, ka.AIS(16), 20, chains=2, schedule="sequential")
