@@ -39,13 +39,51 @@ def _on_tpu() -> bool:
         return False
 
 
+def _stub_bits(pid, seed, ctr, shape):
+    """Deterministic uint32 bit stream for interpret-mode testing: a few
+    rounds of multiply-xorshift mixing over (program_id, seed, call
+    counter, sublane, lane). NOT statistically strong — it exists so the
+    masking/Box-Muller/moment pipeline can be executed on CPU and checked
+    bit-for-bit against a numpy golden model (tests/test_pallas.py);
+    the hot path always uses the hardware PRNG."""
+    sub = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    pid = jnp.asarray(pid).astype(jnp.uint32)
+    ctr = jnp.asarray(ctr).astype(jnp.uint32)
+    x = (sub * np.uint32(0x9E3779B9)) ^ (lane * np.uint32(0x85EBCA6B))
+    x = x ^ (pid * np.uint32(0xC2B2AE35))
+    x = x ^ (seed + ctr * np.uint32(0x27D4EB2F))
+    for shift in (15, 13, 16):
+        x = x * np.uint32(0x2C1B3C6D)
+        x = x ^ (x >> shift)
+    return x
+
+
+def stub_bits_numpy(pid, seed, ctr, shape):
+    """The numpy twin of ``_stub_bits`` (golden model for tests)."""
+    with np.errstate(over="ignore"):
+        sub = np.arange(shape[0], dtype=np.uint32)[:, None] * np.uint32(
+            0x9E3779B9)
+        lane = np.arange(shape[1], dtype=np.uint32)[None, :] * np.uint32(
+            0x85EBCA6B)
+        x = (sub ^ lane) * np.uint32(1)
+        x = x ^ np.uint32(np.uint32(pid) * np.uint32(0xC2B2AE35))
+        x = x ^ np.uint32(
+            np.uint32(seed) + np.uint32(ctr) * np.uint32(0x27D4EB2F))
+        for shift in (15, 13, 16):
+            x = x * np.uint32(0x2C1B3C6D)
+            x = x ^ (x >> np.uint32(shift))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=(
     "ndraws", "block", "chunk", "interpret", "target_mu", "target_sd",
-    "sd_weight"))
+    "sd_weight", "bits"))
 def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
                         target_mu: float = 2.0, target_sd: float = 0.04,
                         sd_weight: float = 50.0, block: int = 1024,
-                        chunk: int = 512, interpret: bool = False):
+                        chunk: int = 512, interpret: bool = False,
+                        bits: str = "hw"):
     """Batched README-model cost via the TPU hardware PRNG.
 
     mu, sigma: [n] f32 walker parameters; seed: uint32 scalar.
@@ -78,15 +116,22 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
 
     def kernel(seed_ref, mu_ref, sg_ref, out_ref):
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        if bits == "hw":
+            pltpu.prng_seed(seed_ref[0] + pid)
         shape = (block, chunk)
 
         def body(j, carry):
             s1, s2 = carry
-            # prng_random_bits yields int32 — bitcast to uint32 BEFORE the
-            # shift or sign-extension corrupts the mantissa trick
-            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            if bits == "hw":
+                # prng_random_bits yields int32 — bitcast to uint32 BEFORE
+                # the shift or sign-extension corrupts the mantissa trick
+                b1 = pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                   jnp.uint32)
+                b2 = pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                   jnp.uint32)
+            else:  # deterministic stub for interpret-mode tests
+                b1 = _stub_bits(pid, seed_ref[0], 2 * j, shape)
+                b2 = _stub_bits(pid, seed_ref[0], 2 * j + 1, shape)
             # bits -> U(0,1): 23 mantissa bits via the [1,2) trick
             u1 = pltpu.bitcast((b1 >> 9) | exp_one, jnp.float32) - 1.0
             u2 = pltpu.bitcast((b2 >> 9) | exp_one, jnp.float32) - 1.0
@@ -139,6 +184,194 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
         interpret=interpret,
     )(jnp.asarray(seed, jnp.uint32).reshape(1), mu_p, sg_p)
     return out[:n, 0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "ndraws", "block", "chunk", "interpret", "bits", "target_mu",
+    "target_sd", "sd_weight", "max_stretch", "mu_lo", "mu_hi", "sg_sigma",
+    "sg_lo", "sg_hi"))
+def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
+                      ndraws, block, chunk, interpret, bits, target_mu,
+                      target_sd, sd_weight, max_stretch, mu_lo, mu_hi,
+                      sg_sigma, sg_lo, sg_hi):
+    """One fully-fused SMC rejuvenation sweep for the flagship
+    Uniform(mu) x TruncatedNormal(sg) prior + normal-summary cost:
+    per walker — DE proposal (partner differences precomputed by two
+    contiguous XLA rolls, so the kernel has NO gathers), prior logpdf,
+    MH uniform draw, the ndraws-normal simulator, accept, commit — one
+    HBM read of 6 [n] arrays and one write of 4. Everything random
+    (proposal scale, MH draw, simulator draws) comes from the per-core
+    hardware PRNG. Counterpart of the split path in
+    ``__graft_entry__._sweep_fn`` (XLA moves + Pallas cost)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npad = -(-n // block) * block
+    npad = 1 << (npad - 1).bit_length()
+    npad = max(npad, block)
+    npad = -(-npad // block) * block
+    nchunks = -(-ndraws // (2 * chunk))
+    exp_one = np.uint32(0x3F800000)
+    inv_n = np.float32(1.0 / ndraws)
+    inv_sqrt_d = np.float32(max_stretch / math.sqrt(2.0))
+    # TruncatedNormal(0, sg_sigma, sg_lo, sg_hi) log-normalizer (host)
+    from scipy import special as _sps
+    zlo = (sg_lo - 0.0) / sg_sigma
+    zhi = (sg_hi - 0.0) / sg_sigma
+    mass = float(_sps.ndtr(zhi) - _sps.ndtr(zlo))
+    tn_const = np.float32(
+        -math.log(sg_sigma) - 0.5 * math.log(2 * math.pi) - math.log(mass))
+    lp_mu = np.float32(-math.log(mu_hi - mu_lo))
+    half_inv_var = np.float32(0.5 / (sg_sigma * sg_sigma))
+    neg_inf = np.float32(-np.inf)
+    f_mu_lo, f_mu_hi = np.float32(mu_lo), np.float32(mu_hi)
+    f_sg_lo, f_sg_hi = np.float32(sg_lo), np.float32(sg_hi)
+    f_tmu, f_tsd, f_w = (np.float32(target_mu), np.float32(target_sd),
+                         np.float32(sd_weight))
+
+    def rbits(pid, seed, ctr, shape):
+        if bits == "hw":
+            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return _stub_bits(pid, seed, ctr, shape)
+
+    def to_unit(b):  # uint32 -> U[0,1) via the [1,2) mantissa trick
+        return pltpu.bitcast((b >> 9) | exp_one, jnp.float32) - 1.0
+
+    def kernel(seed_ref, eps_ref, mu_ref, sg_ref, dmu_ref, dsg_ref,
+               xs_ref, lps_ref, omu_ref, osg_ref, oxs_ref, olps_ref,
+               ocm_ref):
+        pid = pl.program_id(0)
+        if bits == "hw":
+            pltpu.prng_seed(seed_ref[0] + pid)
+        col = (block, 1)
+
+        # per-walker randomness: proposal scale w ~ N(0,1), MH log-u
+        u1 = to_unit(rbits(pid, seed_ref[0], 10_000, col))
+        u2 = to_unit(rbits(pid, seed_ref[0], 10_001, col))
+        u3 = to_unit(rbits(pid, seed_ref[0], 10_002, col))
+        z = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(_TWO_PI * u2)
+        w = z * inv_sqrt_d
+        lprob = jnp.log1p(-u3)  # log U(0,1], exact -randexp() analogue
+
+        mu = mu_ref[:]
+        sg = sg_ref[:]
+        pmu = mu + dmu_ref[:] * w
+        psg = sg + dsg_ref[:] * w
+
+        # prior logpdf of the (continuous -> push == identity) proposal
+        inside = ((pmu >= f_mu_lo) & (pmu <= f_mu_hi)
+                  & (psg >= f_sg_lo) & (psg <= f_sg_hi))
+        lpp = jnp.where(inside,
+                        lp_mu + tn_const - psg * psg * half_inv_var,
+                        neg_inf)
+        lps = lps_ref[:]
+        gate1 = inside & (lprob < jnp.minimum(lpp - lps, 0.0))
+
+        # simulator: ndraws normals per walker, moments in VMEM
+        def body(j, carry):
+            s1, s2 = carry
+            b1 = rbits(pid, seed_ref[0], 2 * j, (block, chunk))
+            b2 = rbits(pid, seed_ref[0], 2 * j + 1, (block, chunk))
+            v1 = to_unit(b1)
+            v2 = to_unit(b2)
+            r = jnp.sqrt(-2.0 * jnp.log1p(-v1))
+            ang = _TWO_PI * v2
+            za = r * jnp.cos(ang)
+            zb = r * jnp.sin(ang)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 1)
+            ma = (2 * j * chunk + lane) < ndraws
+            mb = ((2 * j + 1) * chunk + lane) < ndraws
+            za = jnp.where(ma, za, 0.0)
+            zb = jnp.where(mb, zb, 0.0)
+            s1 = s1 + jnp.sum(za, axis=1, keepdims=True) \
+                + jnp.sum(zb, axis=1, keepdims=True)
+            s2 = s2 + jnp.sum(za * za, axis=1, keepdims=True) \
+                + jnp.sum(zb * zb, axis=1, keepdims=True)
+            return s1, s2
+
+        zero = jnp.zeros(col, jnp.float32)
+        s1, s2 = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+        mz = s1 * inv_n
+        vz = s2 * inv_n - mz * mz
+        d1 = (pmu + psg * mz) - f_tmu
+        d2 = (psg * jnp.sqrt(jnp.maximum(vz, 0.0)) - f_tsd) * f_w
+        xp = jnp.sqrt(d1 * d1 + d2 * d2)
+
+        commit = gate1 & (xp < eps_ref[0])
+        omu_ref[:] = jnp.where(commit, pmu, mu)
+        osg_ref[:] = jnp.where(commit, psg, sg)
+        oxs_ref[:] = jnp.where(commit, xp, xs_ref[:])
+        olps_ref[:] = jnp.where(commit, lpp, lps)
+        # commit mask as a full column: Mosaic requires output block
+        # shapes tiled (8,128)-compatible or whole-array, so a per-block
+        # (1,1) scalar accumulator cannot lower — sum on the XLA side
+        ocm_ref[:] = commit.astype(jnp.float32)
+
+    def pad(x):
+        return jnp.pad(x, (0, npad - n)).reshape(npad, 1)
+
+    colspec = pl.BlockSpec((block, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [colspec] * 6,
+        out_specs=[colspec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((npad, 1), jnp.float32)] * 5,
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.uint32).reshape(1),
+      jnp.asarray(eps, jnp.float32).reshape(1),
+      pad(mu), pad(sg), pad(dmu), pad(dsg), pad(xs),
+      # pad lps with +inf: lpp - inf = -inf makes gate1 false, so
+      # padding walkers can never commit
+      jnp.pad(lps, (0, npad - n),
+              constant_values=np.float32(np.inf)).reshape(npad, 1))
+    omu, osg, oxs, olps, ocm = outs
+    return (omu[:n, 0], osg[:n, 0], oxs[:n, 0], olps[:n, 0],
+            jnp.sum(ocm).astype(jnp.int32))
+
+
+def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
+                              target_mu: float = 2.0,
+                              target_sd: float = 0.04,
+                              sd_weight: float = 50.0,
+                              max_stretch: float = 2.0,
+                              mu_lo: float = 1.0, mu_hi: float = 3.0,
+                              sg_sigma: float = 0.05, sg_lo: float = 0.0,
+                              sg_hi: float = 100.0, block: int = 512,
+                              chunk: int = 512, interpret: bool = False,
+                              bits: str = "hw"):
+    """Fused one-kernel SMC sweep for the flagship model. Returns
+    ``step(key, (mu, sg), xs, lps, eps) -> ((mu, sg), xs, lps, acc)``
+    with the same signature as ``__graft_entry__._sweep_fn``'s step.
+    The key only seeds the in-kernel hardware PRNG and draws the two
+    rotation shifts; partner differences are two contiguous rolls.
+
+    block=512 (not 1024 like the cost-only kernel): the fused body keeps
+    ~10 (block, chunk) f32 temporaries live (two Box-Muller halves plus
+    masks for both), and block=1024 overflows the 16 MB scoped-VMEM
+    stack limit (19.8 MB) on v5e."""
+
+    def step(key, thetas, xs, lps, eps):
+        mu, sg = thetas
+        kr1, kr2, ks = jax.random.split(key, 3)
+        r1 = jax.random.randint(kr1, (), 1, n, dtype=jnp.int32)
+        r2 = jax.random.randint(kr2, (), 1, n - 1, dtype=jnp.int32)
+        r2 = r2 + (r2 >= r1)
+        dmu = jnp.roll(mu, r2) - jnp.roll(mu, r1)
+        dsg = jnp.roll(sg, r2) - jnp.roll(sg, r1)
+        seed = jax.random.bits(ks, (), jnp.uint32)
+        omu, osg, oxs, olps, acc = _fused_sweep_call(
+            mu, sg, dmu, dsg, xs, lps, eps, seed, n=n, ndraws=ndraws,
+            block=block, chunk=chunk, interpret=interpret, bits=bits,
+            target_mu=target_mu, target_sd=target_sd, sd_weight=sd_weight,
+            max_stretch=max_stretch, mu_lo=mu_lo, mu_hi=mu_hi,
+            sg_sigma=sg_sigma, sg_lo=sg_lo, sg_hi=sg_hi)
+        return (omu, osg), oxs, olps, acc
+
+    return step
 
 
 def make_flagship_cost_batched(ndraws: int = 1000, target_mu: float = 2.0,
