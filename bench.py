@@ -7,30 +7,70 @@ particle-update = one full MH rejuvenation step for one walker — proposal
 flagship model (reference README.md:70-84, a 1000-draw Normal simulator
 per cost call, i.e. 1000 fresh normals per update).
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is value / 1e6 (the driver-set >=1e6 updates/s/chip target;
-the reference itself publishes no formal benchmarks — BASELINE.md).
+as soon as the first headline row lands, then re-prints an improved line
+if a faster variant (Pallas cost kernel) finishes in budget — the LAST
+JSON line on stdout is the final headline. vs_baseline is value / 1e6
+(the driver-set >=1e6 updates/s/chip target; the reference publishes no
+formal benchmarks — BASELINE.md).
+
+Robustness (this harness runs under `timeout 590` on a tunneled axon TPU
+where a cold remote compile can cost minutes and the tunnel can stall
+transiently):
+  * The parent process NEVER initializes JAX. Each bench row runs in its
+    own child process (`bench.py --row NAME`) under a hard
+    subprocess timeout, so no single stuck compile or wedged tunnel can
+    eat the whole budget.
+  * Every child enables the persistent compilation cache
+    (.jax_cache/, committed to the repo) — repeat runs, including the
+    driver's end-of-round run, compile in <1 s per program.
+  * Rows are ordered headline-first and budget-gated: diagnostics are
+    skipped once the wall-clock budget is spent.
 
 Timing notes: on the tunneled axon backend ``block_until_ready`` can
 return before execution finishes, so every timed region ends with a
 scalar readback that forces completion. Sweeps are scanned on-device so
-dispatch latency is amortized.
+dispatch latency is amortized; jitted fns are warmed TWICE before timing
+(the first post-compile call carries one-time overhead).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+T0 = time.perf_counter()
+REPO = os.path.dirname(os.path.abspath(__file__))
+BUDGET_S = float(os.environ.get("KISSABC_BENCH_BUDGET_S", "540"))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def remaining():
+    return BUDGET_S - (time.perf_counter() - T0)
+
+
+# --------------------------------------------------------------------------
+# Child-side: one bench row per process. Everything below this block runs
+# only under `bench.py --row NAME`.
+# --------------------------------------------------------------------------
+
+def _child_init():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
 def flagship():
+    import jax
+    import jax.numpy as jnp
     import kissabc_tpu as ka
 
     prior = ka.Factored(ka.Uniform(1, 3), ka.TruncatedNormal(0, 0.05, 0, 100))
@@ -45,11 +85,31 @@ def flagship():
     return prior, cost
 
 
-def _sweep_bench(n, iters, cost_batched=None):
-    """updates/s of the scanned SMC rejuvenation sweep."""
+def _time_scalar_fn(fn, args_fn, reps=3):
+    """Median-free simple timing: warm twice (first post-compile call has
+    one-time overhead on axon), then average `reps` timed calls, each
+    forced complete by a scalar readback inside `fn`."""
+    fn(*args_fn(101))
+    fn(*args_fn(102))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        fn(*args_fn(r))
+    return (time.perf_counter() - t0) / reps
+
+
+def row_sweep(pallas: bool):
+    """updates/s of the scanned SMC rejuvenation sweep (headline)."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
     import __graft_entry__ as g
 
+    n, iters = 131072, 50
     prior, cost = flagship()
+    cost_batched = None
+    if pallas:
+        from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
+        cost_batched = make_flagship_cost_batched()
     step = g._sweep_fn(prior, cost, n, cost_batched=cost_batched)
 
     def many(key, thetas, xs, lps, eps):
@@ -70,42 +130,122 @@ def _sweep_bench(n, iters, cost_batched=None):
     eps = jnp.asarray(0.5, jnp.float32)
 
     fn = jax.jit(many)
-    # two forced warmups: the first post-compile invocation on the axon
-    # runtime carries one-time overhead that pollutes timing
-    acc = float(fn(key, thetas, xs, lps, eps))
-    acc = float(fn(jax.random.fold_in(key, 99), thetas, xs, lps, eps))
-    reps = 5
-    t0 = time.perf_counter()
-    for r in range(reps):
-        acc = float(fn(jax.random.fold_in(key, r), thetas, xs, lps, eps))
-    dt = (time.perf_counter() - t0) / reps
-    return n * iters / dt, acc / (n * iters)
+    acc = [0.0]
+
+    def call(key, *rest):
+        acc[0] = float(fn(key, *rest))
+
+    dt = _time_scalar_fn(
+        call, lambda r: (jax.random.fold_in(key, r), thetas, xs, lps, eps))
+    ups = n * iters / dt
+    return {"updates_per_s": ups, "accept_frac": acc[0] / (n * iters),
+            "n": n, "iters": iters,
+            "cost": "pallas-hwprng" if pallas else "xla-threefry"}
 
 
-def bench_sweeps():
+def row_sweep_fused():
+    """Headline candidate: the fully-fused one-kernel sweep (proposal +
+    prior gate + MH draw + simulator + commit inside one pallas_call;
+    partner diffs via two contiguous XLA rolls). TPU only."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    from kissabc_tpu.ops.pallas_kernels import make_fused_flagship_sweep
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("fused sweep kernel is TPU-only")
     n, iters = 131072, 50
-    ups_xla, frac = _sweep_bench(n, iters)
-    log(f"sweep[XLA threefry cost]    n={n}: {ups_xla:,.0f} updates/s "
-        f"(accept {frac:.3f})")
-    ups_pl = 0.0
-    if jax.devices()[0].platform == "tpu":
-        from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
-        ups_pl, frac = _sweep_bench(
-            n, iters, cost_batched=make_flagship_cost_batched())
-        log(f"sweep[Pallas HW-PRNG cost]  n={n}: {ups_pl:,.0f} updates/s "
-            f"(accept {frac:.3f})")
-    return max(ups_xla, ups_pl)
+    prior, _cost = flagship()
+    step = make_fused_flagship_sweep(n)
+
+    def many(key, thetas, xs, lps, eps):
+        def body(carry, k):
+            th, x_, lp = carry
+            th, x_, lp, acc = step(k, th, x_, lp, eps)
+            return (th, x_, lp), acc
+        (th, x_, lp), accs = jax.lax.scan(
+            body, (thetas, xs, lps), jax.random.split(key, iters))
+        return jnp.sum(accs)
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
+        jax.random.split(key, n))
+    xs = jnp.ones((n,), jnp.float32)
+    lps = jnp.zeros((n,), jnp.float32)
+    eps = jnp.asarray(0.5, jnp.float32)
+
+    fn = jax.jit(many)
+    acc = [0.0]
+
+    def call(key, *rest):
+        acc[0] = float(fn(key, *rest))
+
+    dt = _time_scalar_fn(
+        call, lambda r: (jax.random.fold_in(key, r), thetas, xs, lps, eps))
+    ups = n * iters / dt
+    return {"updates_per_s": ups, "accept_frac": acc[0] / (n * iters),
+            "n": n, "iters": iters, "cost": "fused-one-kernel-sweep"}
 
 
-def bench_ais_sweep(n=131072, iters=50):
+def row_roofline():
+    """Speed-of-light proxy: raw normal generation + reduction with the
+    Pallas hardware-PRNG kernel, no sweep around it. The headline's
+    utilization = headline_normals_per_s / this. Off-TPU reports the XLA
+    threefry generator instead."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    n, ndraws, iters = 131072, 1000, 50
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from kissabc_tpu.ops.pallas_kernels import normal_summary_cost
+
+        def one(seed):
+            return jnp.sum(normal_summary_cost(
+                jnp.full((n,), 2.0, jnp.float32),
+                jnp.full((n,), 0.05, jnp.float32), seed, ndraws=ndraws))
+    else:
+        def one(seed):
+            k = jax.random.key(seed)
+            return jnp.sum(jax.random.normal(k, (n, ndraws // 10)))
+
+    # scan on-device so the tunnel round-trip (~25 ms/call) doesn't
+    # swamp the ~3.5 ms kernel
+    def gen(seed0):
+        def body(c, s):
+            return c + one(s), None
+        out, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            seed0 + jnp.arange(iters, dtype=jnp.uint32))
+        return out
+
+    fn = jax.jit(gen)
+
+    def call(s):
+        float(fn(s))
+
+    dt = _time_scalar_fn(call, lambda r: (jnp.uint32(r * iters),), reps=5)
+    nps = n * ndraws * iters / dt
+    if not on_tpu:
+        nps /= 10
+    return {"normals_per_s": nps, "kernel":
+            "pallas-hwprng+boxmuller+moments" if on_tpu else "xla-threefry"}
+
+
+def row_ais_sweep():
     """walker-updates/s of the AIS red/black mixture sweep (the second
-    headline algorithm) with the Pallas simulator."""
+    headline algorithm) with the Pallas simulator on TPU."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
     import kissabc_tpu as ka
     from kissabc_tpu.core.ais import make_sweep
-    from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
 
+    n, iters = 131072, 50
     prior, cost = flagship()
     if jax.devices()[0].platform == "tpu":
+        from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
         model = ka.ApproxKernelizedPosterior(
             prior, make_flagship_cost_batched(), 0.005,
             cost_vectorized=True)
@@ -126,22 +266,25 @@ def bench_ais_sweep(n=131072, iters=50):
     thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
     lds = model.loglike_batch(jax.vmap(model.push)(thetas),
                               jax.random.fold_in(key, 1))
-    float(many(key, thetas, lds))
-    float(many(jax.random.fold_in(key, 99), thetas, lds))
-    t0 = time.perf_counter()
-    for r in range(5):
-        float(many(jax.random.fold_in(key, r), thetas, lds))
-    dt = (time.perf_counter() - t0) / 5
-    return n * iters / dt
+
+    def call(k):
+        float(many(k, thetas, lds))
+
+    dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
+    return {"updates_per_s": n * iters / dt, "n": n, "iters": iters}
 
 
-def bench_mcmc_sweep(n=131072, iters=100):
+def row_mcmc_sweep():
     """Classical-MCMC mode (no simulator): Rosenbrock banana via
-    CommonLogDensity with a vectorized log-density — measures the raw
-    ensemble-kernel throughput when the target is cheap."""
+    CommonLogDensity with a vectorized log-density — raw ensemble-kernel
+    throughput when the target is cheap."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
     import kissabc_tpu as ka
     from kissabc_tpu.core.ais import make_sweep
 
+    n, iters = 131072, 100
     D = ka.CommonLogDensity(
         2, lambda k: jax.random.normal(k, (2,)),
         lambda xs, key: -100 * (xs[:, 0] - xs[:, 1] ** 2) ** 2
@@ -162,22 +305,20 @@ def bench_mcmc_sweep(n=131072, iters=100):
     thetas = jax.vmap(D.init_sample)(jax.random.split(key, n))
     lds = D.loglike_batch(jax.vmap(D.push)(thetas),
                           jax.random.fold_in(key, 1))
-    float(many(key, thetas, lds))
-    float(many(jax.random.fold_in(key, 99), thetas, lds))
-    t0 = time.perf_counter()
-    for r in range(5):
-        float(many(jax.random.fold_in(key, r), thetas, lds))
-    dt = (time.perf_counter() - t0) / 5
-    return n * iters / dt
+
+    def call(k):
+        float(many(k, thetas, lds))
+
+    dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
+    return {"updates_per_s": n * iters / dt}
 
 
-def bench_ais_wallclock():
+def row_ais_wallclock():
     """The reference README's only wall-clock claim: AIS(10), 1000
     samples, ntransitions=100 on the Normal model runs in 0:00:02
-    (README.md:63, ~1e5 simulator calls). Same sample budget here.
-    Compile (one-time, cached) and execution are reported separately —
-    the tunneled remote-compile service costs minutes for the scanned
-    AIS program while execution is sub-second."""
+    (README.md:63, ~1e5 simulator calls). Same sample budget here;
+    compile (one-time, persisted in .jax_cache) reported separately."""
+    jax = _child_init()
     import numpy as np
 
     import kissabc_tpu as ka
@@ -196,40 +337,16 @@ def bench_ais_wallclock():
     flat = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1000], flat)
     dt_run = time.perf_counter() - t0
     mu, sig = particles_from_tree(flat)
-    return dt_compile, dt_run, (mu.mean(), mu.std(), sig.mean(), sig.std())
+    return {"compile_s": dt_compile, "run_s": dt_run,
+            "mu": float(mu.mean()), "mu_sd": float(mu.std()),
+            "sigma": float(sig.mean()), "sigma_sd": float(sig.std())}
 
 
-def bench_scaling():
-    """samples/s scaling efficiency across a walker-sharded mesh
-    (BASELINE target >=80% at >=2 hosts; with one chip available this
-    measures 1-device trivially and reports n/a)."""
-    ndev = len(jax.devices())
-    if ndev < 2:
-        log(f"scaling: {ndev} device visible - multi-chip efficiency "
-            "measured via the virtual-CPU mesh in tests/test_parallel.py")
-        return None
-    from kissabc_tpu.parallel.mesh import make_mesh
-    import kissabc_tpu as ka
-    prior, cost = flagship()
-    times = {}
-    for k in (1, ndev):
-        mesh = make_mesh(walker=k) if k > 1 else None
-        t0 = time.perf_counter()
-        ka.smc(prior, cost, nparticles=4096 * ndev, epstol=0.05,
-               mesh=mesh, key=4)
-        times[k] = time.perf_counter() - t0
-    eff = times[1] / (times[ndev])
-    log(f"scaling efficiency at {ndev} devices: {eff:.2f}")
-    return eff
-
-
-def bench_gk():
-    """BASELINE config 4: g-and-k quantile-distribution inference,
-    4 params, summary-statistic cost, 4096 particles."""
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "examples"))
+def row_gk():
+    """g-and-k quantile-distribution inference, 4 params,
+    summary-statistic cost, 4096 particles (BASELINE config 4)."""
+    _child_init()
+    sys.path.insert(0, os.path.join(REPO, "examples"))
     import kissabc_tpu as ka
     from example_gk import TRUE, cost, prior
 
@@ -239,16 +356,16 @@ def bench_gk():
     dt = time.perf_counter() - t0
     a, b, g_, k_ = res.P
     ok = abs(a.mean() - TRUE[0]) < 0.3 and abs(b.mean() - TRUE[1]) < 0.5
-    log(f"g-and-k 4096 particles: {dt:.1f}s wall, eps={res.eps:.4f}, "
-        f"a={a.mean():.2f} b={b.mean():.2f} g={g_.mean():.2f} "
-        f"k={k_.mean():.2f} (true {TRUE}) -> "
-        f"{'PASS' if ok else 'FAIL'}")
-    return ok
+    return {"wall_s": dt, "eps": float(res.eps), "ok": bool(ok),
+            "a": float(a.mean()), "b": float(b.mean()),
+            "g": float(g_.mean()), "k": float(k_.mean())}
 
 
-def bench_smc_to_reference_eps():
-    """Wall-clock for full adaptive smc to reach the reference's README
-    tolerance (eps <= 0.011113, README.md:84), 1000 particles."""
+def row_smc_parity():
+    """Full adaptive smc to the reference README tolerance
+    (eps <= 0.011113, README.md:84), 1000 particles; posterior-moment
+    parity vs the reference oracle."""
+    _child_init()
     import kissabc_tpu as ka
 
     prior, cost = flagship()
@@ -256,41 +373,75 @@ def bench_smc_to_reference_eps():
     res = ka.smc(prior, cost, nparticles=1000, epstol=0.011113, key=2)
     dt = time.perf_counter() - t0  # smc() materializes results on host
     mu, sig = res.P
-    return dt, res, (mu.mean(), mu.std(), sig.mean(), sig.std())
+    parity = abs(mu.mean() - 2.0) < 0.05 and abs(sig.mean() - 0.0401) < 0.005
+    return {"wall_s": dt, "iterations": int(res.iterations),
+            "eps": float(res.eps), "mu": float(mu.mean()),
+            "mu_sd": float(mu.std()), "sigma": float(sig.mean()),
+            "sigma_sd": float(sig.std()), "parity": bool(parity)}
 
 
-_T_START = time.perf_counter()
-_ROW_BUDGET_S = float(__import__("os").environ.get(
-    "KISSABC_BENCH_BUDGET_S", "420"))
+ROWS = {
+    "sweep-xla": lambda: row_sweep(pallas=False),
+    "sweep-pallas": lambda: row_sweep(pallas=True),
+    "sweep-fused": row_sweep_fused,
+    "roofline": row_roofline,
+    "ais-sweep": row_ais_sweep,
+    "mcmc-sweep": row_mcmc_sweep,
+    "ais-wallclock": row_ais_wallclock,
+    "g-and-k": row_gk,
+    "smc-parity": row_smc_parity,
+}
 
 
-def _row(name, fn):
-    """Run one bench row; tunnel/remote-compile flakiness must never kill
-    the whole harness or the headline JSON line. Diagnostic rows are
-    skipped once the elapsed-time budget is spent (cold remote compiles
-    can cost minutes per row)."""
-    elapsed = time.perf_counter() - _T_START
-    if elapsed > _ROW_BUDGET_S:
-        log(f"ROW SKIPPED [{name}]: {elapsed:.0f}s elapsed > "
-            f"{_ROW_BUDGET_S:.0f}s budget")
+def _child_main(name):
+    res = ROWS[name]()
+    print("ROW " + json.dumps(res), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Parent-side orchestration (no JAX in this process).
+# --------------------------------------------------------------------------
+
+def run_row(name, timeout_s):
+    """Run one bench row in a child process under a hard timeout. Returns
+    the row's result dict or None. Tunnel/remote-compile flakiness must
+    never kill the harness or cost the headline JSON line."""
+    if timeout_s < 20:
+        log(f"ROW SKIPPED [{name}]: {timeout_s:.0f}s left < 20s floor")
         return None
+    t0 = time.perf_counter()
     try:
-        return fn()
-    except Exception as e:  # noqa: BLE001 — report and continue
-        log(f"ROW FAILED [{name}]: {type(e).__name__}: {str(e)[:300]}")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--row", name],
+            timeout=timeout_s, capture_output=True, text=True, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        log(f"ROW TIMEOUT [{name}] after {timeout_s:.0f}s")
         return None
+    dt = time.perf_counter() - t0
+    for line in (p.stderr or "").splitlines():
+        if "Platform 'axon' is experimental" not in line:
+            log(f"  [{name}] {line}")
+    if p.returncode != 0:
+        log(f"ROW FAILED [{name}] rc={p.returncode}")
+        return None
+    for line in p.stdout.splitlines():
+        if line.startswith("ROW "):
+            res = json.loads(line[4:])
+            log(f"ROW OK [{name}] ({dt:.0f}s): "
+                + json.dumps(res, default=str))
+            return res
+    log(f"ROW FAILED [{name}]: no ROW line in stdout")
+    return None
 
 
-def main():
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
+_printed_headline = [0.0]
 
-    ups = _row("sweeps", bench_sweeps) or 0.0
 
-    if ups:
-        # print the headline METRIC as soon as it exists: the remaining
-        # rows are diagnostics, and a cold remote-compile stall in one of
-        # them must not cost the recorded result if the harness times out
+def emit_headline(ups):
+    """Print the headline JSON line; the LAST such line is the result.
+    Only re-print improvements."""
+    if ups and ups > _printed_headline[0]:
+        _printed_headline[0] = ups
         print(json.dumps({
             "metric": "particle_updates_per_s_per_chip",
             "value": ups,
@@ -298,53 +449,65 @@ def main():
             "vs_baseline": ups / 1e6,
         }), flush=True)
 
-    def _ais_row():
-        ais_ups = bench_ais_sweep()
-        log(f"AIS red/black mixture sweep n=131072: {ais_ups:,.0f} "
-            f"walker-updates/s")
-        return ais_ups
-    ais_ups = _row("ais-sweep", _ais_row)
 
-    def _mcmc_row():
-        mcmc_ups = bench_mcmc_sweep()
-        log(f"classical-MCMC sweep (Rosenbrock, no simulator) n=131072: "
-            f"{mcmc_ups:,.0f} walker-updates/s")
-        return mcmc_ups
-    _row("mcmc-sweep", _mcmc_row)
+def main():
+    log(f"bench budget: {BUDGET_S:.0f}s; cache dir: "
+        f"{os.path.join(REPO, '.jax_cache')}")
 
-    def _ais_wall_row():
-        dt_c, dt_ais, (am, asd, sm2, ssd2) = bench_ais_wallclock()
-        log(f"AIS(10) x1000 samples x100 transitions: {dt_ais:.2f}s "
-            f"execution + {dt_c:.0f}s one-time compile (reference README "
-            f"claim: ~2s total on a laptop); posterior "
-            f"mu={am:.4f}±{asd:.4f}, sigma={sm2:.5f}±{ssd2:.5f}")
-    _row("ais-wallclock", _ais_wall_row)
+    # Headline first — reserve tail room for the Pallas variant, which
+    # beats XLA threefry by ~1.7x when its (cached) compile fits.
+    xla = run_row("sweep-xla", min(remaining() - 150, 330))
+    if xla:
+        emit_headline(xla["updates_per_s"])
 
-    _row("scaling", bench_scaling)
-    _row("g-and-k", bench_gk)
+    pallas = run_row("sweep-pallas", remaining() - 90)
+    if pallas:
+        emit_headline(pallas["updates_per_s"])
 
-    def _parity_row():
-        dt_smc, res, (mum, mus, sm, ss) = bench_smc_to_reference_eps()
-        log(f"full smc to eps<=0.011113: {dt_smc:.2f}s wall (incl. "
-            f"compile), {res.iterations} iterations, final "
-            f"eps={res.eps:.5f}")
-        log(f"posterior: mu={mum:.4f}±{mus:.4f} (ref 2.0±0.0062), "
-            f"sigma={sm:.5f}±{ss:.5f} (ref 0.0401±0.00081)")
-        parity = abs(mum - 2.0) < 0.05 and abs(sm - 0.0401) < 0.005
-        log("moment parity vs reference oracle: "
-            f"{'PASS' if parity else 'FAIL'}")
-    _row("smc-parity", _parity_row)
+    fused = run_row("sweep-fused", min(remaining() - 60, 200))
+    if fused:
+        emit_headline(fused["updates_per_s"])
 
-    if not ups:
-        # headline row failed: fall back to the AIS sweep measurement
-        ups = ais_ups or 0.0
+    ais_ran = False
+    if not _printed_headline[0]:
+        # both sweep variants failed: fall back to the AIS sweep number
+        ais = run_row("ais-sweep", remaining() - 40)
+        ais_ran = True
+        if ais:
+            emit_headline(ais["updates_per_s"])
+
+    # Diagnostics, budget-gated, cheapest-information-first. Per-row cap
+    # of 150s: warm-cache rows take seconds; a cache-miss row (cold
+    # Mosaic remote compile can exceed 390s) must not eat the budget of
+    # every row behind it.
+    def cap():
+        return min(remaining() - 30, 150)
+
+    roof = run_row("roofline", cap())
+    if roof and _printed_headline[0]:
+        util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
+        log(f"utilization: headline sweep runs at {util:.0%} of the raw "
+            f"{roof['normals_per_s'] / 1e9:.1f} Gnormals/s generator "
+            "kernel (speed-of-light proxy for this simulator-bound "
+            "workload)")
+    if not ais_ran:
+        run_row("ais-sweep", cap())
+    run_row("mcmc-sweep", cap())
+    run_row("smc-parity", cap())
+    run_row("ais-wallclock", cap())
+    run_row("g-and-k", min(remaining() - 10, 150))
+
+    if not _printed_headline[0]:
+        # Nothing measured — emit an explicit zero so the driver records
+        # a parseable (failing) value rather than nothing.
         print(json.dumps({
             "metric": "particle_updates_per_s_per_chip",
-            "value": ups,
-            "unit": "updates/s",
-            "vs_baseline": ups / 1e6,
+            "value": 0.0, "unit": "updates/s", "vs_baseline": 0.0,
         }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        _child_main(sys.argv[2])
+    else:
+        main()
