@@ -319,6 +319,7 @@ def row_ais_wallclock():
     (README.md:63, ~1e5 simulator calls). Same sample budget here;
     compile (one-time, persisted in .jax_cache) reported separately."""
     jax = _child_init()
+    import jax.numpy as jnp
     import numpy as np
 
     import kissabc_tpu as ka
@@ -332,6 +333,11 @@ def row_ais_wallclock():
     t0 = time.perf_counter()
     comp = jax.jit(run).trace(key).lower().compile()
     dt_compile = time.perf_counter() - t0
+    # warm once: the first post-compile call carries one-time program-load
+    # overhead (~20 s over the tunnel); steady state is ~1.5 s, which is
+    # the honest wall-clock against the reference's 0:00:02 claim
+    w, _ = comp(jax.random.fold_in(key, 1))
+    float(jnp.asarray(w[0])[0])
     t0 = time.perf_counter()
     flat, valid = comp(key)
     flat = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1000], flat)
