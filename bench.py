@@ -22,6 +22,10 @@ transiently):
     own child process (`bench.py --row NAME`) under a hard
     subprocess timeout, so no single stuck compile or wedged tunnel can
     eat the whole budget.
+  * A do-nothing `warmup` row runs first to absorb the tunnel's
+    cold-attach stall (first device op after TPU idle: 2-4 min; warm:
+    ~1 s, and warmth carries across processes) so the stall can never
+    land on a row that matters.
   * Every child enables the persistent compilation cache
     (.jax_cache/, committed to the repo) — repeat runs, including the
     driver's end-of-round run, compile in <1 s per program.
@@ -65,6 +69,13 @@ def _child_init():
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Without this, Mosaic kernel payloads embed full caller tracebacks
+    # (file:line of everything up the stack) INSIDE the custom-call
+    # config, where the cache key's strip-debuginfo pass can't reach —
+    # so any edit that shifts a line anywhere invalidated every Pallas
+    # program's cache entry (measured: a 5-line shift changed the key;
+    # with this flag the key is shift-invariant).
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
     return jax
 
 
@@ -386,7 +397,23 @@ def row_smc_parity():
             "sigma_sd": float(sig.std()), "parity": bool(parity)}
 
 
+def row_warmup():
+    """Absorb the tunnel's cold-attach cost. After the TPU sits idle for
+    a few minutes, the FIRST device op of the next process stalls 2-4
+    min (observed 123-264 s; `jax.devices()` itself is instant). The
+    stall is per-tunnel, not per-process: once any child completes an
+    op, every subsequent child attaches in ~1 s. Paying it here, in a
+    child that does nothing else, keeps the real rows warm-fast."""
+    _child_init()
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    v = float((jnp.ones((8, 128)) + 1.0).sum())
+    return {"attach_s": time.perf_counter() - t0, "val": v}
+
+
 ROWS = {
+    "warmup": row_warmup,
     "sweep-xla": lambda: row_sweep(pallas=False),
     "sweep-pallas": lambda: row_sweep(pallas=True),
     "sweep-fused": row_sweep_fused,
@@ -460,17 +487,26 @@ def main():
     log(f"bench budget: {BUDGET_S:.0f}s; cache dir: "
         f"{os.path.join(REPO, '.jax_cache')}")
 
-    # Headline first — reserve tail room for the Pallas variant, which
-    # beats XLA threefry by ~1.7x when its (cached) compile fits.
-    xla = run_row("sweep-xla", min(remaining() - 150, 330))
-    if xla:
-        emit_headline(xla["updates_per_s"])
+    # Cold-attach absorber first (see row_warmup): the first device op
+    # after TPU idle stalls 2-4 min regardless of which child issues it.
+    # Give it everything except a reserve for the headline row itself;
+    # once it lands, every real row runs warm (7-40 s with the committed
+    # compile cache).
+    warm = run_row("warmup", remaining() - 150)
+    if warm:
+        log(f"tunnel attach: {warm['attach_s']:.0f}s")
 
-    pallas = run_row("sweep-pallas", remaining() - 90)
+    # Headline: the Pallas-cost sweep is the known winner (~40M
+    # updates/s; ~40s warm including cache loads).
+    pallas = run_row("sweep-pallas", min(remaining() - 60, 150))
     if pallas:
         emit_headline(pallas["updates_per_s"])
 
-    fused = run_row("sweep-fused", min(remaining() - 60, 200))
+    xla = run_row("sweep-xla", min(remaining() - 45, 60))
+    if xla:
+        emit_headline(xla["updates_per_s"])
+
+    fused = run_row("sweep-fused", min(remaining() - 30, 60))
     if fused:
         emit_headline(fused["updates_per_s"])
 
@@ -486,8 +522,10 @@ def main():
     # of 150s: warm-cache rows take seconds; a cache-miss row (cold
     # Mosaic remote compile can exceed 390s) must not eat the budget of
     # every row behind it.
+    # Warm rows take 7-10 s; 60 s headroom means a transiently stuck
+    # row is abandoned quickly instead of starving everything behind it.
     def cap():
-        return min(remaining() - 30, 150)
+        return min(remaining() - 30, 60)
 
     roof = run_row("roofline", cap())
     if roof and _printed_headline[0]:
@@ -501,7 +539,14 @@ def main():
     run_row("mcmc-sweep", cap())
     run_row("smc-parity", cap())
     run_row("ais-wallclock", cap())
-    run_row("g-and-k", min(remaining() - 10, 150))
+    run_row("g-and-k", min(remaining() - 10, 120))
+
+    # Last call: if the winning Pallas row failed earlier (transient
+    # tunnel stall), give it one more clean shot with whatever is left.
+    if not pallas and remaining() > 40:
+        pallas = run_row("sweep-pallas", remaining() - 10)
+        if pallas:
+            emit_headline(pallas["updates_per_s"])
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records
