@@ -25,12 +25,12 @@ distributions and the ``Particles`` result type at the top level.
 """
 
 from .distributions import (  # noqa: F401
-    Beta, Binomial, Categorical, Cauchy, Chisq, Dirichlet, DiscreteUniform,
-    Distribution, Exponential, Factored, FDist, Gamma, Geometric, IID,
-    InverseGamma, Laplace, Logistic, LogNormal, MultivariateNormal,
-    Multinomial, MvNormal, NegativeBinomial, Normal, Pareto, Poisson,
-    Product, Rayleigh, StudentT, TDist, Truncated, TruncatedNormal,
-    Uniform, Weibull,
+    Bernoulli, Beta, Binomial, Categorical, Cauchy, Chisq, Dirichlet,
+    DiscreteUniform, Distribution, Exponential, Factored, FDist, Gamma,
+    Geometric, Gumbel, IID, InverseGamma, Laplace, Logistic, LogNormal,
+    MultivariateNormal, Multinomial, MvNormal, NegativeBinomial, Normal,
+    Pareto, Poisson, Product, Rayleigh, StudentT, TDist, TriangularDist,
+    Truncated, TruncatedNormal, Uniform, Weibull,
 )
 from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
 from .core.density import (  # noqa: F401

@@ -514,6 +514,93 @@ class InverseGamma(Distribution):
         return gammaincc(self.alpha, self.theta / xs)
 
 
+@dist("mu", "theta")
+class Gumbel(Distribution):
+    """Gumbel (max) with location ``mu`` and scale ``theta``
+    (Distributions.jl's ``Gumbel(mu, theta)``)."""
+
+    def _post_init(self):
+        object.__setattr__(self, "_lth", _f32(np.log(self.theta)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape, jnp.float32,
+                               np.float32(1e-7), np.float32(1.0))
+        return self.mu - self.theta * jnp.log(-jnp.log(u))
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.theta
+        return -(z + jnp.exp(-z)) - self._lth
+
+    def cdf(self, x):
+        return jnp.exp(-jnp.exp(-(x - self.mu) / self.theta))
+
+    def quantile(self, q):
+        return self.mu - self.theta * jnp.log(-jnp.log(q))
+
+
+@dist("a", "b", "c")
+class TriangularDist(Distribution):
+    """Triangular on [a, b] with mode ``c`` (Distributions.jl argument
+    order: lower, upper, mode)."""
+
+    def _post_init(self):
+        a, b, c = float(self.a), float(self.b), float(self.c)
+        if not a <= c <= b:
+            raise ValueError("TriangularDist needs a <= c <= b")
+        object.__setattr__(self, "_fc", _f32((c - a) / (b - a)))
+
+    def sample(self, key, shape=()):
+        return self.quantile(jax.random.uniform(key, shape))
+
+    def logpdf(self, x):
+        a, b, c = self.a, self.b, self.c
+        left = (x >= a) & (x <= c)
+        right = (x > c) & (x <= b)
+        # guard both branch numerators so neither produces log(<=0)
+        num = jnp.where(left, x - a, jnp.where(right, b - x, 1.0))
+        den = jnp.where(left, (b - a) * (c - a),
+                        jnp.where(right, (b - a) * (b - c), 1.0))
+        lp = np.float32(np.log(2.0)) + jnp.log(num) - jnp.log(den)
+        return jnp.where(left | right, lp, _NEG_INF)
+
+    def cdf(self, x):
+        a, b, c = self.a, self.b, self.c
+        xl = jnp.clip(x, a, c)
+        xr = jnp.clip(x, c, b)
+        low = ((xl - a) ** 2 / ((b - a) * (c - a)) if c > a
+               else jnp.zeros_like(xl))
+        high = (1.0 - (b - xr) ** 2 / ((b - a) * (b - c)) if b > c
+                else jnp.ones_like(xr))
+        return jnp.where(x < c, low, high)
+
+    def quantile(self, q):
+        a, b, c = self.a, self.b, self.c
+        lo = a + jnp.sqrt(jnp.maximum(q, 0.0) * (b - a) * (c - a))
+        hi = b - jnp.sqrt(jnp.maximum(1.0 - q, 0.0) * (b - a) * (b - c))
+        return jnp.where(q < self._fc, lo, hi)
+
+
+@dist("p")
+class Bernoulli(Distribution):
+    """Bernoulli success probability ``p`` (support {0, 1})."""
+
+    discrete = True
+
+    def _post_init(self):
+        object.__setattr__(self, "_lp", _f32(np.log(max(self.p, 1e-37))))
+        object.__setattr__(self, "_l1p",
+                           _f32(np.log1p(-min(self.p, 1 - 1e-7))))
+
+    def sample(self, key, shape=()):
+        return (jax.random.uniform(key, shape) < self.p).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        ok = (xf == 0) | (xf == 1)
+        return jnp.where(ok, jnp.where(xf > 0.5, self._lp, self._l1p),
+                         _NEG_INF)
+
+
 @dist("n", "p")
 class Binomial(Distribution):
     discrete = True
@@ -1114,7 +1201,9 @@ __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
     "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
     "Chisq", "FDist", "Logistic", "Rayleigh", "Pareto", "InverseGamma",
-    "Truncated", "TruncatedNormal", "DiscreteUniform", "Binomial",
+    "Gumbel", "TriangularDist",
+    "Truncated", "TruncatedNormal", "DiscreteUniform", "Bernoulli",
+    "Binomial",
     "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
     "MultivariateNormal", "Product", "IID", "Dirichlet", "Multinomial",
     "Factored",

@@ -360,3 +360,61 @@ def test_truncated_far_tail_log_space():
     # a window with truly zero f64 mass raises instead of going -inf
     with pytest.raises(ValueError):
         ka.Truncated(ka.Normal(0.0, 1.0), 40.0, 41.0)
+
+
+def test_bernoulli():
+    d = ka.Bernoulli(0.3)
+    assert d.discrete
+    x = draws(d)
+    assert set(np.unique(x)) <= {0, 1}
+    assert abs(x.mean() - 0.3) < 0.01
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(np.array([0.0, 1.0]))),
+        st.bernoulli(0.3).logpmf([0, 1]), rtol=1e-5)
+    assert float(d.logpdf(2.0)) == -np.inf
+    assert float(d.logpdf(-1.0)) == -np.inf
+
+
+def test_gumbel():
+    d = ka.Gumbel(1.0, 2.0)
+    ref = st.gumbel_r(1.0, 2.0)
+    x = draws(d)
+    assert abs(x.mean() - ref.mean()) < 0.05
+    xs = np.array([-3.0, 1.0, 6.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=1e-5)
+    assert abs(float(d.quantile(0.8)) - ref.ppf(0.8)) < 1e-3
+
+
+def test_triangular():
+    d = ka.TriangularDist(-1.0, 3.0, 0.5)
+    ref = st.triang((0.5 - -1.0) / 4.0, loc=-1.0, scale=4.0)
+    x = draws(d)
+    assert x.min() >= -1.0 and x.max() <= 3.0
+    assert abs(x.mean() - ref.mean()) < 0.02
+    xs = np.array([-0.5, 0.5, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(xs)), ref.logpdf(xs), rtol=1e-4)
+    assert float(d.logpdf(-1.5)) == -np.inf
+    assert float(d.logpdf(3.5)) == -np.inf
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=1e-5)
+    assert abs(float(d.quantile(0.25)) - ref.ppf(0.25)) < 1e-3
+    # degenerate modes at the endpoints still integrate
+    lo = ka.TriangularDist(0.0, 1.0, 0.0)
+    hi = ka.TriangularDist(0.0, 1.0, 1.0)
+    np.testing.assert_allclose(float(lo.cdf(0.5)), 0.75, atol=1e-6)
+    np.testing.assert_allclose(float(hi.cdf(0.5)), 0.25, atol=1e-6)
+    with pytest.raises(ValueError):
+        ka.TriangularDist(0.0, 1.0, 2.0)
+
+
+def test_bernoulli_in_factored_prior():
+    # Bernoulli marginal evolves in float and snaps to {0,1} at push
+    pri = ka.Factored(ka.Bernoulli(0.7), ka.Normal(0.0, 1.0))
+    s = pri.sample(jax.random.PRNGKey(0), (64,))
+    assert s[0].dtype == jnp.int32
+    lp = pri.logpdf(s)
+    assert np.all(np.isfinite(np.asarray(lp)))
