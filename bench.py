@@ -108,11 +108,46 @@ def _time_scalar_fn(fn, args_fn, reps=3):
     return (time.perf_counter() - t0) / reps
 
 
+def _time_sweep(jax, step, prior, n, iters, label):
+    """Shared sweep-row protocol: scan `iters` sweeps on-device, init a
+    prior ensemble, warm twice + scalar readback (_time_scalar_fn), and
+    report updates/s. `step(key, thetas, xs, lps, eps)` is the per-sweep
+    kernel under test."""
+    import jax.numpy as jnp
+
+    def many(key, thetas, xs, lps, eps):
+        def body(carry, k):
+            th, x_, lp = carry
+            th, x_, lp, acc = step(k, th, x_, lp, eps)
+            return (th, x_, lp), acc
+        (th, x_, lp), accs = jax.lax.scan(
+            body, (thetas, xs, lps), jax.random.split(key, iters))
+        return jnp.sum(accs)
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
+        jax.random.split(key, n))
+    xs = jnp.ones((n,), jnp.float32)
+    lps = jnp.zeros((n,), jnp.float32)
+    eps = jnp.asarray(0.5, jnp.float32)
+
+    fn = jax.jit(many)
+    acc = [0.0]
+
+    def call(key, *rest):
+        acc[0] = float(fn(key, *rest))
+
+    dt = _time_scalar_fn(
+        call, lambda r: (jax.random.fold_in(key, r), thetas, xs, lps, eps))
+    ups = n * iters / dt
+    return {"updates_per_s": ups, "accept_frac": acc[0] / (n * iters),
+            "n": n, "iters": iters, "cost": label}
+
+
 def row_sweep(pallas: bool):
     """updates/s of the scanned SMC rejuvenation sweep (headline)."""
     jax = _child_init()
-    import jax.numpy as jnp
-
     import __graft_entry__ as g
 
     n, iters = 131072, 50
@@ -122,36 +157,8 @@ def row_sweep(pallas: bool):
         from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
         cost_batched = make_flagship_cost_batched()
     step = g._sweep_fn(prior, cost, n, cost_batched=cost_batched)
-
-    def many(key, thetas, xs, lps, eps):
-        def body(carry, k):
-            th, x_, lp = carry
-            th, x_, lp, acc = step(k, th, x_, lp, eps)
-            return (th, x_, lp), acc
-        (th, x_, lp), accs = jax.lax.scan(
-            body, (thetas, xs, lps), jax.random.split(key, iters))
-        return jnp.sum(accs)
-
-    key = jax.random.key(0)
-    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
-        jax.random.split(key, n))
-    xs = jnp.ones((n,), jnp.float32)
-    lps = jnp.zeros((n,), jnp.float32)
-    eps = jnp.asarray(0.5, jnp.float32)
-
-    fn = jax.jit(many)
-    acc = [0.0]
-
-    def call(key, *rest):
-        acc[0] = float(fn(key, *rest))
-
-    dt = _time_scalar_fn(
-        call, lambda r: (jax.random.fold_in(key, r), thetas, xs, lps, eps))
-    ups = n * iters / dt
-    return {"updates_per_s": ups, "accept_frac": acc[0] / (n * iters),
-            "n": n, "iters": iters,
-            "cost": "pallas-hwprng" if pallas else "xla-threefry"}
+    return _time_sweep(jax, step, prior, n, iters,
+                       "pallas-hwprng" if pallas else "xla-threefry")
 
 
 def row_sweep_fused():
@@ -159,8 +166,6 @@ def row_sweep_fused():
     prior gate + MH draw + simulator + commit inside one pallas_call;
     partner diffs via two contiguous XLA rolls). TPU only."""
     jax = _child_init()
-    import jax.numpy as jnp
-
     from kissabc_tpu.ops.pallas_kernels import make_fused_flagship_sweep
 
     if jax.devices()[0].platform != "tpu":
@@ -168,35 +173,7 @@ def row_sweep_fused():
     n, iters = 131072, 50
     prior, _cost = flagship()
     step = make_fused_flagship_sweep(n)
-
-    def many(key, thetas, xs, lps, eps):
-        def body(carry, k):
-            th, x_, lp = carry
-            th, x_, lp, acc = step(k, th, x_, lp, eps)
-            return (th, x_, lp), acc
-        (th, x_, lp), accs = jax.lax.scan(
-            body, (thetas, xs, lps), jax.random.split(key, iters))
-        return jnp.sum(accs)
-
-    key = jax.random.key(0)
-    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
-        jax.random.split(key, n))
-    xs = jnp.ones((n,), jnp.float32)
-    lps = jnp.zeros((n,), jnp.float32)
-    eps = jnp.asarray(0.5, jnp.float32)
-
-    fn = jax.jit(many)
-    acc = [0.0]
-
-    def call(key, *rest):
-        acc[0] = float(fn(key, *rest))
-
-    dt = _time_scalar_fn(
-        call, lambda r: (jax.random.fold_in(key, r), thetas, xs, lps, eps))
-    ups = n * iters / dt
-    return {"updates_per_s": ups, "accept_frac": acc[0] / (n * iters),
-            "n": n, "iters": iters, "cost": "fused-one-kernel-sweep"}
+    return _time_sweep(jax, step, prior, n, iters, "fused-one-kernel-sweep")
 
 
 def row_roofline():
@@ -518,11 +495,8 @@ def main():
         if ais:
             emit_headline(ais["updates_per_s"])
 
-    # Diagnostics, budget-gated, cheapest-information-first. Per-row cap
-    # of 150s: warm-cache rows take seconds; a cache-miss row (cold
-    # Mosaic remote compile can exceed 390s) must not eat the budget of
-    # every row behind it.
-    # Warm rows take 7-10 s; 60 s headroom means a transiently stuck
+    # Diagnostics, budget-gated, cheapest-information-first. Warm rows
+    # take 7-10 s; the 60 s cap means a transiently stuck or cache-miss
     # row is abandoned quickly instead of starving everything behind it.
     def cap():
         return min(remaining() - 30, 60)

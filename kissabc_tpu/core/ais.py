@@ -286,6 +286,16 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     one-walker round-robin loop (exact trajectory semantics, serial —
     for parity studies/small ensembles)."""
     if schedule == "sequential":
+        # the serial round-robin loop has no partner batching, no
+        # custom kernel hook, and nothing to shard — reject knobs that
+        # would otherwise be silently ignored
+        ignored = ([] if partner_scheme == "auto" else ["partner_scheme"])
+        ignored += [] if kernel is mixture_one else ["kernel"]
+        ignored += [] if mesh is None else ["mesh"]
+        if ignored:
+            raise ValueError(
+                f"schedule='sequential' does not support {ignored}; "
+                "drop them or use the default red_black schedule")
         run = make_sequential_run(
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling)

@@ -554,13 +554,25 @@ class TriangularDist(Distribution):
 
     def logpdf(self, x):
         a, b, c = self.a, self.b, self.c
+        l2 = np.float32(np.log(2.0))
+        ok = (x >= a) & (x <= b)
+        # a, b, c are host floats: endpoint-mode degeneracies branch at
+        # trace time so no 0/0 (log0 - log0 = nan) can reach the graph
+        if c == a:      # density 2(b-x)/(b-a)^2 on [a, b]
+            num = jnp.where(ok, b - x, 1.0)
+            lp = l2 + jnp.log(num) - np.float32(2.0 * np.log(b - a))
+            return jnp.where(ok, lp, _NEG_INF)
+        if c == b:      # density 2(x-a)/(b-a)^2 on [a, b]
+            num = jnp.where(ok, x - a, 1.0)
+            lp = l2 + jnp.log(num) - np.float32(2.0 * np.log(b - a))
+            return jnp.where(ok, lp, _NEG_INF)
         left = (x >= a) & (x <= c)
         right = (x > c) & (x <= b)
         # guard both branch numerators so neither produces log(<=0)
         num = jnp.where(left, x - a, jnp.where(right, b - x, 1.0))
         den = jnp.where(left, (b - a) * (c - a),
                         jnp.where(right, (b - a) * (b - c), 1.0))
-        lp = np.float32(np.log(2.0)) + jnp.log(num) - jnp.log(den)
+        lp = l2 + jnp.log(num) - jnp.log(den)
         return jnp.where(left | right, lp, _NEG_INF)
 
     def cdf(self, x):
@@ -587,9 +599,14 @@ class Bernoulli(Distribution):
     discrete = True
 
     def _post_init(self):
-        object.__setattr__(self, "_lp", _f32(np.log(max(self.p, 1e-37))))
+        # no clamps: a degenerate Bernoulli(0)/Bernoulli(1) must assign
+        # exactly -inf to the impossible outcome (the logpdf select has
+        # no multiplication, so -inf is safe there)
+        p = float(self.p)
+        object.__setattr__(self, "_lp",
+                           _f32(np.log(p)) if p > 0 else _NEG_INF)
         object.__setattr__(self, "_l1p",
-                           _f32(np.log1p(-min(self.p, 1 - 1e-7))))
+                           _f32(np.log1p(-p)) if p < 1 else _NEG_INF)
 
     def sample(self, key, shape=()):
         return (jax.random.uniform(key, shape) < self.p).astype(jnp.int32)
@@ -751,11 +768,34 @@ class Truncated(Distribution):
         return jnp.where(inside, self.base.logpdf(x) - self._lz, _NEG_INF)
 
     def cdf(self, x):
-        c = self.base.cdf(jnp.clip(x, self.lo, self.hi)) - self._clo
-        return c / (self._chi - self._clo)
+        xc = jnp.clip(x, self.lo, self.hi)
+        if self._use_sf:
+            # cdf space is degenerate here (chi == clo in f32): work in
+            # survival space, (S(lo) - S(x)) / mass, with a precise sf
+            if not isinstance(self.base, Normal):
+                raise ValueError(
+                    f"{self!r}: far-tail window cdf needs a precise "
+                    "survival function (available for Normal bases).")
+            from jax.scipy.special import erfc
+            z = (xc - self.base.mu) / self.base.sigma
+            sf = np.float32(0.5) * erfc(z / np.float32(np.sqrt(2.0)))
+            return jnp.clip((self._slo - sf) / self._mass, 0.0, 1.0)
+        return jnp.clip((self.base.cdf(xc) - self._clo) / self._mass,
+                        0.0, 1.0)
 
     def quantile(self, q):
-        return self.base.quantile(self._clo + q * (self._chi - self._clo))
+        if self._use_sf:
+            if not isinstance(self.base, Normal):
+                raise ValueError(
+                    f"{self!r}: far-tail window quantile needs a precise "
+                    "inverse survival function (available for Normal "
+                    "bases).")
+            # S(x) = slo - q*mass, x = mu - sigma*ndtri(S(x))
+            u = self._slo - q * self._mass
+            return jnp.clip(self.base.mu - self.base.sigma * ndtri(u),
+                            self.lo, self.hi)
+        return jnp.clip(self.base.quantile(self._clo + q * self._mass),
+                        self.lo, self.hi)
 
     def __repr__(self):
         return f"Truncated({self.base!r}, {self.lo}, {self.hi})"

@@ -418,3 +418,47 @@ def test_bernoulli_in_factored_prior():
     assert s[0].dtype == jnp.int32
     lp = pri.logpdf(s)
     assert np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_truncated_far_tail_cdf_quantile():
+    # review r2: cdf/quantile on a far-tail window used to be nan/inf
+    # (normalizer chi - clo underflows); now computed in survival space
+    d = ka.Truncated(ka.Normal(0.0, 1.0), 8.0, 9.0)
+    ref = st.truncnorm(8.0, 9.0)
+    xs = np.array([8.1, 8.4, 8.9])
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=2e-4)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(float(d.quantile(q)) - ref.ppf(q)) < 1e-2
+    # ordinary windows keep working and clip to the support
+    dn = ka.Truncated(ka.Normal(0.0, 1.0), -1.0, 1.0)
+    refn = st.truncnorm(-1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(dn.cdf(xs - 8.2)),
+                               refn.cdf(xs - 8.2), atol=1e-5)
+    assert abs(float(dn.quantile(0.3)) - refn.ppf(0.3)) < 1e-3
+
+
+def test_triangular_endpoint_mode_logpdf():
+    # review r2: c == a (or b) gave nan at the mode (log0 - log0)
+    lo = ka.TriangularDist(0.0, 1.0, 0.0)
+    hi = ka.TriangularDist(0.0, 1.0, 1.0)
+    np.testing.assert_allclose(float(lo.logpdf(0.0)), np.log(2.0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(hi.logpdf(1.0)), np.log(2.0),
+                               rtol=1e-6)
+    ref_lo = st.triang(0.0, loc=0.0, scale=1.0)
+    xs = np.array([0.25, 0.5, 0.75])
+    np.testing.assert_allclose(np.asarray(lo.logpdf(xs)),
+                               ref_lo.logpdf(xs), rtol=1e-4)
+    assert float(lo.logpdf(-0.1)) == -np.inf
+    assert float(lo.logpdf(1.0)) == -np.inf  # density 0 at far endpoint
+
+
+def test_bernoulli_degenerate():
+    # review r2: p=0/1 clamps assigned finite logp to impossible outcomes
+    assert float(ka.Bernoulli(1.0).logpdf(0.0)) == -np.inf
+    assert float(ka.Bernoulli(1.0).logpdf(1.0)) == 0.0
+    assert float(ka.Bernoulli(0.0).logpdf(1.0)) == -np.inf
+    assert float(ka.Bernoulli(0.0).logpdf(0.0)) == 0.0
+    assert int(ka.Bernoulli(1.0).sample(jax.random.key(0), ())) == 1
+    assert int(ka.Bernoulli(0.0).sample(jax.random.key(0), ())) == 0

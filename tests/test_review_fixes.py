@@ -106,3 +106,18 @@ def test_sequential_schedule_with_chains_raises():
         pri, lambda x: jnp.abs(x * x + 1 - 1.5), 0.005)
     with pytest.raises(ValueError, match="sequential"):
         ka.sample(abc, ka.AIS(16), 20, chains=2, schedule="sequential")
+
+
+def test_sequential_schedule_rejects_ignored_knobs():
+    # review r2: partner_scheme/kernel/mesh were silently ignored on the
+    # sequential path; now they raise like the chains+sequential case
+    import pytest
+    import jax.numpy as jnp
+    import kissabc_tpu as ka
+
+    pri = ka.Normal(0.0, 1.0)
+    mdl = ka.ApproxKernelizedPosterior(
+        pri, lambda x, key: jnp.abs(x), 0.5)
+    with pytest.raises(ValueError, match="partner_scheme"):
+        ka.sample(mdl, ka.AIS(8), 4, schedule="sequential",
+                  partner_scheme="gather")
