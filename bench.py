@@ -154,6 +154,11 @@ def row_sweep(pallas: bool):
     prior, cost = flagship()
     cost_batched = None
     if pallas:
+        if jax.devices()[0].platform != "tpu":
+            # make_flagship_cost_batched silently falls back to the XLA
+            # threefry path off-TPU; without this gate the row would
+            # duplicate sweep-xla under the 'pallas-hwprng' label
+            raise RuntimeError("pallas sweep row is TPU-only")
         from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
         cost_batched = make_flagship_cost_batched()
     step = g._sweep_fn(prior, cost, n, cost_batched=cost_batched)
@@ -513,14 +518,15 @@ def main():
     run_row("mcmc-sweep", cap())
     run_row("smc-parity", cap())
     run_row("ais-wallclock", cap())
-    run_row("g-and-k", min(remaining() - 10, 120))
 
-    # Last call: if the winning Pallas row failed earlier (transient
-    # tunnel stall), give it one more clean shot with whatever is left.
+    # Retry BEFORE the g-and-k tail row: if the winning Pallas row
+    # failed earlier (transient tunnel stall), give it one more clean
+    # shot while budget remains — g-and-k must not starve the headline.
     if not pallas and remaining() > 40:
-        pallas = run_row("sweep-pallas", remaining() - 10)
+        pallas = run_row("sweep-pallas", remaining() - 40)
         if pallas:
             emit_headline(pallas["updates_per_s"])
+    run_row("g-and-k", min(remaining() - 10, 120))
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records

@@ -292,6 +292,7 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         ignored = ([] if partner_scheme == "auto" else ["partner_scheme"])
         ignored += [] if kernel is mixture_one else ["kernel"]
         ignored += [] if mesh is None else ["mesh"]
+        ignored += [] if not progress else ["progress"]
         if ignored:
             raise ValueError(
                 f"schedule='sequential' does not support {ignored}; "

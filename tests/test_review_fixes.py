@@ -121,3 +121,6 @@ def test_sequential_schedule_rejects_ignored_knobs():
     with pytest.raises(ValueError, match="partner_scheme"):
         ka.sample(mdl, ka.AIS(8), 4, schedule="sequential",
                   partner_scheme="gather")
+    with pytest.raises(ValueError, match="progress"):
+        ka.sample(mdl, ka.AIS(8), 4, schedule="sequential",
+                  progress=True)
