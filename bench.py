@@ -96,16 +96,22 @@ def flagship():
     return prior, cost
 
 
-def _time_scalar_fn(fn, args_fn, reps=3):
-    """Median-free simple timing: warm twice (first post-compile call has
-    one-time overhead on axon), then average `reps` timed calls, each
-    forced complete by a scalar readback inside `fn`."""
+def _time_scalar_fn(fn, args_fn, reps=5):
+    """Best-of-N timing: warm twice (first post-compile call has one-time
+    overhead on axon), then take the MINIMUM of `reps` individually timed
+    calls, each forced complete by a scalar readback inside `fn`. Minimum,
+    not mean: the tunneled TPU shows transient multi-second stalls that
+    are scheduler/tunnel noise, not program cost — the fastest clean rep
+    is the honest steady-state throughput (same-day swings of 25-40M
+    updates/s on an identical cached program traced to this)."""
     fn(*args_fn(101))
     fn(*args_fn(102))
-    t0 = time.perf_counter()
+    best = float("inf")
     for r in range(reps):
+        t0 = time.perf_counter()
         fn(*args_fn(r))
-    return (time.perf_counter() - t0) / reps
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _time_sweep(jax, step, prior, n, iters, label):

@@ -121,6 +121,13 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
         shape = (block, chunk)
 
         def body(j, carry):
+            # j is a PYTHON int (static unroll below): chunks fully
+            # inside ndraws statically skip the lane mask; only the
+            # boundary chunk needs it. Measured neutral vs the
+            # fori_loop+always-mask form (interleaved A/B on v5e: equal
+            # within the ±10% tunnel noise — the mask ops hide under
+            # the PRNG/transcendental pipeline), kept for the static
+            # masking clarity.
             s1, s2 = carry
             if bits == "hw":
                 # prng_random_bits yields int32 — bitcast to uint32 BEFORE
@@ -142,19 +149,27 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
             ang = _TWO_PI * u2
             za = r * jnp.cos(ang)
             zb = r * jnp.sin(ang)
-            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-            ma = (2 * j * chunk + lane) < ndraws
-            mb = ((2 * j + 1) * chunk + lane) < ndraws
-            za = jnp.where(ma, za, 0.0)
-            zb = jnp.where(mb, zb, 0.0)
-            s1 = s1 + jnp.sum(za, axis=1, keepdims=True) \
-                + jnp.sum(zb, axis=1, keepdims=True)
-            s2 = s2 + jnp.sum(za * za, axis=1, keepdims=True) \
-                + jnp.sum(zb * zb, axis=1, keepdims=True)
+
+            def masked(zh, start):
+                if start + chunk <= ndraws:   # fully inside: no mask
+                    return zh
+                if start >= ndraws:           # fully outside: drop
+                    return None
+                lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                return jnp.where(start + lane < ndraws, zh, 0.0)
+
+            for zh in (masked(za, 2 * j * chunk),
+                       masked(zb, (2 * j + 1) * chunk)):
+                if zh is None:
+                    continue
+                s1 = s1 + jnp.sum(zh, axis=1, keepdims=True)
+                s2 = s2 + jnp.sum(zh * zh, axis=1, keepdims=True)
             return s1, s2
 
         zero = jnp.zeros((block, 1), jnp.float32)
-        s1, s2 = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+        s1, s2 = (zero, zero)
+        for j in range(nchunks):  # static unroll (nchunks is 1-2 in
+            s1, s2 = body(j, (s1, s2))  # practice; see masked() above)
         mz = s1 * inv_n                      # mean of z
         vz = s2 * inv_n - mz * mz            # population var of z
         muv = mu_ref[:]                      # (block, 1)
