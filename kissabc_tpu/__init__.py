@@ -25,12 +25,14 @@ distributions and the ``Particles`` result type at the top level.
 """
 
 from .distributions import (  # noqa: F401
-    Bernoulli, Beta, Binomial, Categorical, Cauchy, Chisq, Dirichlet,
-    DiscreteUniform, Distribution, Exponential, Factored, FDist, Gamma,
-    Geometric, Gumbel, IID, InverseGamma, Laplace, Logistic, LogNormal,
-    MultivariateNormal, Multinomial, MvNormal, NegativeBinomial, Normal,
-    Pareto, Poisson, Product, Rayleigh, StudentT, TDist, TriangularDist,
-    Truncated, TruncatedNormal, Uniform, Weibull,
+    Arcsine, Bernoulli, Beta, BetaBinomial, Binomial, Categorical, Cauchy,
+    Chisq, Dirichlet, DiscreteUniform, Distribution, Erlang, Exponential,
+    Factored, FDist, Frechet, Gamma, GeneralizedPareto, Geometric, Gumbel,
+    Hypergeometric, IID, InverseGamma, Kumaraswamy, Laplace, Levy,
+    Logistic, LogNormal, MultivariateNormal, Multinomial, MvNormal,
+    NegativeBinomial, Normal, Pareto, Poisson, Product, Rayleigh,
+    Semicircle, Skellam, StudentT, TDist, TriangularDist, Truncated,
+    TruncatedNormal, Uniform, VonMises, Weibull,
 )
 from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
 from .core.density import (  # noqa: F401

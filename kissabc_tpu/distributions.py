@@ -250,6 +250,15 @@ class Gamma(Distribution):
         return _bisect_quantile(self.cdf, 0.0, hi, q)
 
 
+def Erlang(k, theta=1.0):
+    """Erlang(k, theta) == Gamma with integer shape
+    (Distributions.jl ``Erlang``)."""
+    ki = int(k)
+    if ki != k or ki < 1:
+        raise ValueError("Erlang needs integer k >= 1")
+    return Gamma(ki, theta)
+
+
 @dist("mu", "sigma")
 class LogNormal(Distribution):
     def _post_init(self):
@@ -592,6 +601,303 @@ class TriangularDist(Distribution):
         return jnp.where(q < self._fc, lo, hi)
 
 
+@dist("a", "b")
+class Arcsine(Distribution):
+    """Arcsine on [a, b] (Distributions.jl ``Arcsine(a, b)``): the Beta
+    (1/2, 1/2) law rescaled — density 1/(pi*sqrt((x-a)(b-x)))."""
+
+    def _post_init(self):
+        a, b = float(self.a), float(self.b)
+        if not a < b:
+            raise ValueError("Arcsine needs a < b")
+        object.__setattr__(self, "_lpi", _f32(math.log(math.pi)))
+        object.__setattr__(self, "_w", _f32(b - a))
+
+    def sample(self, key, shape=()):
+        return self.quantile(jax.random.uniform(key, shape))
+
+    def logpdf(self, x):
+        inside = (x > self.a) & (x < self.b)
+        num = jnp.where(inside, (x - self.a) * (self.b - x), 1.0)
+        return jnp.where(inside, -self._lpi - 0.5 * jnp.log(num), _NEG_INF)
+
+    def cdf(self, x):
+        z = jnp.clip((x - self.a) / self._w, 0.0, 1.0)
+        return np.float32(2.0 / math.pi) * jnp.arcsin(jnp.sqrt(z))
+
+    def quantile(self, q):
+        s = jnp.sin(np.float32(math.pi / 2.0) * q)
+        return self.a + self._w * s * s
+
+
+@dist("r")
+class Semicircle(Distribution):
+    """Wigner semicircle with radius ``r`` on [-r, r]
+    (Distributions.jl ``Semicircle(r)``)."""
+
+    def _post_init(self):
+        r = float(self.r)
+        if not r > 0:
+            raise ValueError("Semicircle needs r > 0")
+        # log normalizer of 2*sqrt(r^2-x^2)/(pi r^2)
+        object.__setattr__(
+            self, "_lc", _f32(math.log(2.0) - math.log(math.pi)
+                              - 2.0 * math.log(r)))
+
+    def sample(self, key, shape=()):
+        # X = r*(2B - 1) with B ~ Beta(3/2, 3/2)
+        b = jax.random.beta(key, np.float32(1.5), np.float32(1.5), shape)
+        return self.r * (2.0 * b - 1.0)
+
+    def logpdf(self, x):
+        inside = jnp.abs(x) < self.r
+        num = jnp.where(inside, self.r * self.r - x * x, 1.0)
+        return jnp.where(inside, self._lc + 0.5 * jnp.log(num), _NEG_INF)
+
+    def cdf(self, x):
+        xc = jnp.clip(x, -self.r, self.r)
+        z = xc / self.r
+        return (0.5 + (xc * jnp.sqrt(self.r * self.r - xc * xc))
+                * np.float32(1.0 / math.pi) / (self.r * self.r)
+                + jnp.arcsin(z) * np.float32(1.0 / math.pi))
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, -float(self.r), float(self.r), q)
+
+
+@dist("alpha", "theta")
+class Frechet(Distribution):
+    """Frechet (inverse Weibull) with shape ``alpha`` and scale ``theta``
+    (Distributions.jl ``Frechet(alpha, theta)``): cdf exp(-(x/theta)^-a)."""
+
+    def _post_init(self):
+        a, th = float(self.alpha), float(self.theta)
+        if not (a > 0 and th > 0):
+            raise ValueError("Frechet needs alpha > 0 and theta > 0")
+        object.__setattr__(self, "_lc", _f32(math.log(a) - math.log(th)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape, jnp.float32,
+                               np.float32(1e-7), np.float32(1.0))
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        ok = x > 0
+        z = jnp.where(ok, x / self.theta, 1.0)
+        lz = jnp.log(z)
+        return jnp.where(ok, self._lc - (self.alpha + 1.0) * lz
+                         - jnp.exp(-self.alpha * lz), _NEG_INF)
+
+    def cdf(self, x):
+        ok = x > 0
+        z = jnp.where(ok, x / self.theta, 1.0)
+        return jnp.where(ok, jnp.exp(-z ** (-self.alpha)), 0.0)
+
+    def quantile(self, q):
+        return self.theta * (-jnp.log(q)) ** np.float32(-1.0 /
+                                                        float(self.alpha))
+
+
+@dist("mu", "sigma")
+class Levy(Distribution):
+    """Levy with location ``mu`` and scale ``sigma``
+    (Distributions.jl ``Levy(mu, sigma)``) — the stable(1/2) law on
+    (mu, inf)."""
+
+    def _post_init(self):
+        if not float(self.sigma) > 0:
+            raise ValueError("Levy needs sigma > 0")
+        object.__setattr__(
+            self, "_lc",
+            _f32(0.5 * (math.log(float(self.sigma)) - _LOG_2PI)))
+
+    def sample(self, key, shape=()):
+        # X = mu + sigma / Z^2 with Z ~ N(0,1) (folded: Z^2 ~ chi^2_1)
+        z = jax.random.normal(key, shape)
+        return self.mu + self.sigma / (z * z)
+
+    def logpdf(self, x):
+        ok = x > self.mu
+        d = jnp.where(ok, x - self.mu, 1.0)
+        return jnp.where(
+            ok, self._lc - 1.5 * jnp.log(d) - 0.5 * self.sigma / d,
+            _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import erfc
+        ok = x > self.mu
+        d = jnp.where(ok, x - self.mu, 1.0)
+        return jnp.where(ok, erfc(jnp.sqrt(0.5 * self.sigma / d)), 0.0)
+
+    def quantile(self, q):
+        from jax.scipy.special import erfinv
+        # erfcinv(q) = erfinv(1 - q)
+        e = erfinv(1.0 - q)
+        return self.mu + 0.5 * self.sigma / (e * e)
+
+
+class GeneralizedPareto(Distribution):
+    """GPD with location ``mu``, scale ``sigma``, shape ``xi``
+    (Distributions.jl ``GeneralizedPareto(mu, sigma, xi)``). The xi == 0
+    (exponential-tail) case branches at trace time — xi is a host
+    constant."""
+
+    def __init__(self, mu, sigma, xi):
+        if not float(sigma) > 0:
+            raise ValueError("GeneralizedPareto needs sigma > 0")
+        object.__setattr__(self, "mu", _f32(mu))
+        object.__setattr__(self, "sigma", _f32(sigma))
+        object.__setattr__(self, "xi", _f32(xi))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(self, "_lsg",
+                           _f32(math.log(float(self.sigma))))
+
+    def _zhi(self):
+        # upper support bound in z-space: inf for xi >= 0, -1/xi below
+        xi = float(self.xi)
+        return np.float32(np.inf) if xi >= 0 else _f32(-1.0 / xi)
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape, jnp.float32,
+                               np.float32(0.0), np.float32(1.0 - 1e-7))
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.sigma
+        inside = (z >= 0) & (z < self._zhi())
+        zs = jnp.where(inside, z, 0.0)
+        if float(self.xi) == 0.0:
+            lp = -zs - self._lsg
+        else:
+            lp = (-(1.0 / self.xi + 1.0) * jnp.log1p(self.xi * zs)
+                  - self._lsg)
+        return jnp.where(inside, lp, _NEG_INF)
+
+    def cdf(self, x):
+        z = jnp.clip((x - self.mu) / self.sigma, 0.0, self._zhi())
+        if float(self.xi) == 0.0:
+            return 1.0 - jnp.exp(-z)
+        return 1.0 - jnp.exp(np.float32(-1.0 / float(self.xi))
+                             * jnp.log1p(self.xi * z))
+
+    def quantile(self, q):
+        if float(self.xi) == 0.0:
+            return self.mu - self.sigma * jnp.log1p(-q)
+        return self.mu + self.sigma * jnp.expm1(
+            np.float32(-float(self.xi)) * jnp.log1p(-q)) / self.xi
+
+    def __repr__(self):
+        return (f"GeneralizedPareto(mu={self.mu}, sigma={self.sigma}, "
+                f"xi={self.xi})")
+
+
+_register(GeneralizedPareto, ("mu", "sigma", "xi"))
+
+
+@dist("a", "b")
+class Kumaraswamy(Distribution):
+    """Kumaraswamy on (0, 1) with shapes ``a``, ``b``
+    (Distributions.jl ``Kumaraswamy(a, b)``): cdf 1 - (1 - x^a)^b."""
+
+    def _post_init(self):
+        a, b = float(self.a), float(self.b)
+        if not (a > 0 and b > 0):
+            raise ValueError("Kumaraswamy needs a > 0 and b > 0")
+        object.__setattr__(self, "_lab",
+                           _f32(math.log(a) + math.log(b)))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape, jnp.float32,
+                               np.float32(1e-7), np.float32(1.0 - 1e-7))
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        inside = (x > 0) & (x < 1)
+        xs = jnp.where(inside, x, 0.5)
+        lp = (self._lab + (self.a - 1.0) * jnp.log(xs)
+              + (self.b - 1.0) * jnp.log1p(-xs ** self.a))
+        return jnp.where(inside, lp, _NEG_INF)
+
+    def cdf(self, x):
+        xc = jnp.clip(x, 0.0, 1.0)
+        return 1.0 - jnp.exp(self.b * jnp.log1p(-xc ** self.a))
+
+    def quantile(self, q):
+        inv_b = np.float32(1.0 / float(self.b))
+        inv_a = np.float32(1.0 / float(self.a))
+        return (-jnp.expm1(inv_b * jnp.log1p(-q))) ** inv_a
+
+
+class VonMises(Distribution):
+    """von Mises on [mu - pi, mu + pi) with concentration ``kappa``
+    (Distributions.jl ``VonMises(mu, kappa)``).
+
+    logpdf/pdf are exact (the I0(kappa) normalizer is a host scipy
+    constant). Sampling inverts a precomputed 8193-point host quantile
+    table (scipy ppf) by linear interpolation — error O(1e-5) in x for
+    moderate kappa, plenty below ABC tolerance scales; it keeps sampling
+    a two-op gather instead of a data-dependent rejection loop (TPU
+    control-flow rule)."""
+
+    _TAB = 8193
+
+    def __init__(self, mu, kappa):
+        if not float(kappa) > 0:
+            raise ValueError("VonMises needs kappa > 0")
+        object.__setattr__(self, "mu", _f32(mu))
+        object.__setattr__(self, "kappa", _f32(kappa))
+        self._post_init()
+
+    def _post_init(self):
+        from scipy import stats as _st
+        # log(2*pi*I0(kappa)) via the exponentially-scaled Bessel:
+        # stable for large kappa
+        object.__setattr__(
+            self, "_lnorm",
+            _f32(_LOG_2PI + math.log(float(sps.i0e(self.kappa)))
+                 + float(self.kappa)))
+        qs = np.linspace(0.0, 1.0, self._TAB)
+        tab = _st.vonmises(float(self.kappa), loc=float(self.mu)).ppf(qs)
+        tab[0], tab[-1] = (float(self.mu) - math.pi,
+                           float(self.mu) + math.pi)
+        object.__setattr__(self, "_tab", tab.astype(_f32))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        t = u * np.float32(self._TAB - 1)
+        i = jnp.clip(t.astype(jnp.int32), 0, self._TAB - 2)
+        f = t - i
+        lo = jnp.take(self._tab, i)
+        hi = jnp.take(self._tab, i + 1)
+        return lo + f * (hi - lo)
+
+    def logpdf(self, x):
+        inside = jnp.abs(x - self.mu) <= np.float32(math.pi)
+        return jnp.where(inside,
+                         self.kappa * jnp.cos(x - self.mu) - self._lnorm,
+                         _NEG_INF)
+
+    def __repr__(self):
+        return f"VonMises(mu={self.mu}, kappa={self.kappa})"
+
+
+def _vm_flatten(d):
+    return (), (float(d.mu), float(d.kappa))
+
+
+def _vm_unflatten(aux, _):
+    obj = object.__new__(VonMises)
+    object.__setattr__(obj, "mu", _f32(aux[0]))
+    object.__setattr__(obj, "kappa", _f32(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(VonMises, _vm_flatten, _vm_unflatten)
+
+
 @dist("p")
 class Bernoulli(Distribution):
     """Bernoulli success probability ``p`` (support {0, 1})."""
@@ -661,6 +967,144 @@ class Geometric(Distribution):
         ok = xf >= 0
         xs = jnp.where(ok, xf, 0.0)
         return jnp.where(ok, self._lp + xs * self._l1p, _NEG_INF)
+
+
+@dist("n", "alpha", "beta")
+class BetaBinomial(Distribution):
+    """Beta-binomial: Binomial(n, p) with p ~ Beta(alpha, beta)
+    (Distributions.jl ``BetaBinomial(n, alpha, beta)``)."""
+
+    discrete = True
+
+    def _post_init(self):
+        n, a, b = float(self.n), float(self.alpha), float(self.beta)
+        if not (n == int(n) and n >= 0 and a > 0 and b > 0):
+            raise ValueError(
+                "BetaBinomial needs integer n >= 0, alpha > 0, beta > 0")
+        # log C(n,x) + betaln(x+a, n-x+b) - betaln(a, b); every
+        # x-independent gammaln folds into one host constant
+        object.__setattr__(
+            self, "_lc",
+            _f32(sps.gammaln(n + 1) - sps.betaln(a, b)
+                 - sps.gammaln(n + a + b)))
+
+    def sample(self, key, shape=()):
+        kb, ku = jax.random.split(key)
+        p = jax.random.beta(kb, self.alpha, self.beta, shape)
+        u = jax.random.uniform(ku, shape + (int(self.n),))
+        return jnp.sum(u < p[..., None], axis=-1).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= 0) & (xf <= self.n)
+        xs = jnp.where(inside, xf, 0.0)
+        lp = (self._lc - gammaln(xs + 1) - gammaln(self.n - xs + 1)
+              + gammaln(xs + self.alpha)
+              + gammaln(self.n - xs + self.beta))
+        return jnp.where(inside, lp, _NEG_INF)
+
+
+class Hypergeometric(Distribution):
+    """Hypergeometric(s, f, n): successes drawn in ``n`` draws without
+    replacement from ``s`` successes + ``f`` failures
+    (Distributions.jl ``Hypergeometric(s, f, n)``). Finite support, so
+    sampling is a categorical over the host-precomputed pmf table."""
+
+    discrete = True
+
+    def __init__(self, s, f, n):
+        s, f, n = int(s), int(f), int(n)
+        if s < 0 or f < 0 or not 0 <= n <= s + f:
+            raise ValueError(
+                "Hypergeometric needs s, f >= 0 and 0 <= n <= s + f")
+        object.__setattr__(self, "s", s)
+        object.__setattr__(self, "f", f)
+        object.__setattr__(self, "n", n)
+        self._post_init()
+
+    def _post_init(self):
+        from scipy import stats as _st
+        s, f, n = self.s, self.f, self.n
+        kmin, kmax = max(0, n - f), min(n, s)
+        ks = np.arange(kmin, kmax + 1)
+        logpmf = _st.hypergeom(s + f, s, n).logpmf(ks)
+        object.__setattr__(self, "_kmin", kmin)
+        object.__setattr__(self, "_kmax", kmax)
+        object.__setattr__(self, "_logpmf", logpmf.astype(_f32))
+
+    def sample(self, key, shape=()):
+        idx = jax.random.categorical(key, self._logpmf, shape=shape)
+        return (idx + self._kmin).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= self._kmin) & (xf <= self._kmax)
+        xi = jnp.clip(jnp.asarray(x, jnp.int32) - self._kmin, 0,
+                      self._kmax - self._kmin)
+        return jnp.where(inside, jnp.take(self._logpmf, xi), _NEG_INF)
+
+    def __repr__(self):
+        return f"Hypergeometric(s={self.s}, f={self.f}, n={self.n})"
+
+
+def _hg_flatten(d):
+    return (), (d.s, d.f, d.n)
+
+
+def _hg_unflatten(aux, _):
+    obj = object.__new__(Hypergeometric)
+    for name, v in zip(("s", "f", "n"), aux):
+        object.__setattr__(obj, name, v)
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Hypergeometric, _hg_flatten,
+                                   _hg_unflatten)
+
+
+@dist("mu1", "mu2")
+class Skellam(Distribution):
+    """Skellam: X1 - X2 with independent Poissons mu1, mu2
+    (Distributions.jl ``Skellam(mu1, mu2)``). Support: all integers.
+
+    logpdf evaluates log I_|k|(2*sqrt(mu1*mu2)) by a fixed-length
+    logsumexp series (host-chosen length: the Bessel series terms peak
+    near j ~ z/2, so K = z + 12*sqrt(z) + 30 covers the mass to f32
+    precision) — jit-safe, no data-dependent loops."""
+
+    discrete = True
+
+    def _post_init(self):
+        m1, m2 = float(self.mu1), float(self.mu2)
+        if not (m1 > 0 and m2 > 0):
+            raise ValueError("Skellam needs mu1 > 0 and mu2 > 0")
+        z = 2.0 * math.sqrt(m1 * m2)
+        K = int(z + 12.0 * math.sqrt(z) + 30.0)
+        j = np.arange(K, dtype=np.float64)
+        object.__setattr__(self, "_lzh", _f32(math.log(z / 2.0)))
+        object.__setattr__(self, "_j2lzh_mlgj",
+                           (2.0 * j * math.log(z / 2.0)
+                            - sps.gammaln(j + 1)).astype(_f32))
+        object.__setattr__(self, "_jgrid", j.astype(_f32))
+        object.__setattr__(self, "_lrat",
+                           _f32(0.5 * (math.log(m1) - math.log(m2))))
+        object.__setattr__(self, "_msum", _f32(m1 + m2))
+
+    def sample(self, key, shape=()):
+        k1, k2 = jax.random.split(key)
+        return (jax.random.poisson(k1, self.mu1, shape)
+                - jax.random.poisson(k2, self.mu2, shape)).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        v = jnp.abs(xf)
+        # log I_v(z) = logsumexp_j [(2j+v)log(z/2) - lgamma(j+1)
+        #                           - lgamma(j+v+1)]
+        lt = (self._j2lzh_mlgj + v[..., None] * self._lzh
+              - gammaln(self._jgrid + v[..., None] + 1.0))
+        log_iv = jax.scipy.special.logsumexp(lt, axis=-1)
+        return xf * self._lrat - self._msum + log_iv
 
 
 def _host_cdf(base: Distribution, x: float) -> float:
@@ -1241,9 +1685,10 @@ __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
     "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
     "Chisq", "FDist", "Logistic", "Rayleigh", "Pareto", "InverseGamma",
-    "Gumbel", "TriangularDist",
+    "Gumbel", "TriangularDist", "Arcsine", "Semicircle", "Frechet",
+    "Levy", "GeneralizedPareto", "Kumaraswamy", "VonMises", "Erlang",
     "Truncated", "TruncatedNormal", "DiscreteUniform", "Bernoulli",
-    "Binomial",
+    "Binomial", "BetaBinomial", "Hypergeometric", "Skellam",
     "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
     "MultivariateNormal", "Product", "IID", "Dirichlet", "Multinomial",
     "Factored",

@@ -462,3 +462,189 @@ def test_bernoulli_degenerate():
     assert float(ka.Bernoulli(0.0).logpdf(0.0)) == 0.0
     assert int(ka.Bernoulli(1.0).sample(jax.random.key(0), ())) == 1
     assert int(ka.Bernoulli(0.0).sample(jax.random.key(0), ())) == 0
+
+
+# ---------------------------------------------------------------------------
+# tier-3 widening (r2): Distributions.jl re-export breadth, scipy oracles
+# ---------------------------------------------------------------------------
+
+def test_arcsine():
+    d = ka.Arcsine(-1.0, 3.0)
+    ref = st.arcsine(loc=-1.0, scale=4.0)
+    x = draws(d)
+    assert x.min() >= -1 and x.max() <= 3
+    assert abs(x.mean() - ref.mean()) < 0.03
+    xs = np.array([-0.5, 1.0, 2.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-4)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(float(d.quantile(q)) - ref.ppf(q)) < 1e-4
+    assert float(d.logpdf(3.5)) == -np.inf
+
+
+def test_semicircle():
+    d = ka.Semicircle(2.0)
+    ref = st.semicircular(scale=2.0)
+    x = draws(d)
+    assert np.abs(x).max() <= 2.0
+    assert abs(x.mean()) < 0.02
+    assert abs(x.std() - ref.std()) < 0.02
+    xs = np.array([-1.5, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=1e-5)
+    assert abs(float(d.quantile(0.25)) - ref.ppf(0.25)) < 1e-4
+    assert float(d.logpdf(2.1)) == -np.inf
+
+
+def test_frechet():
+    d = ka.Frechet(3.0, 2.0)
+    ref = st.invweibull(3.0, scale=2.0)
+    x = draws(d)
+    assert x.min() > 0
+    assert abs(np.median(x) - ref.median()) < 0.03
+    xs = np.array([0.8, 2.0, 5.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-4)
+    assert abs(float(d.quantile(0.7)) - ref.ppf(0.7)) < 1e-4
+    assert float(d.logpdf(-1.0)) == -np.inf
+
+
+def test_levy():
+    d = ka.Levy(1.0, 2.0)
+    ref = st.levy(loc=1.0, scale=2.0)
+    x = draws(d)
+    assert x.min() > 1.0
+    assert abs(np.median(x) - ref.median()) < 0.2
+    xs = np.array([1.5, 3.0, 10.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=1e-5)
+    for q in (0.2, 0.5, 0.8):
+        assert abs(float(d.quantile(q)) - ref.ppf(q)) / ref.ppf(q) < 1e-3
+    assert float(d.logpdf(0.5)) == -np.inf
+
+
+@pytest.mark.parametrize("xi", [0.0, 0.3, -0.4])
+def test_generalized_pareto(xi):
+    d = ka.GeneralizedPareto(0.5, 2.0, xi)
+    ref = st.genpareto(xi, loc=0.5, scale=2.0)
+    x = draws(d)
+    assert x.min() >= 0.5
+    if xi < 0:
+        assert x.max() <= 0.5 + 2.0 / 0.4 + 1e-3
+    assert abs(np.median(x) - ref.median()) < 0.1
+    xs = np.array([0.7, 1.5, 3.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               atol=1e-5)
+    for q in (0.3, 0.9):
+        assert abs(float(d.quantile(q)) - ref.ppf(q)) < 2e-3
+    assert float(d.logpdf(0.0)) == -np.inf
+
+
+def test_kumaraswamy():
+    # Kumaraswamy(1, b) == Beta(1, b): exact oracle via the special case
+    d1 = ka.Kumaraswamy(1.0, 3.0)
+    ref1 = st.beta(1.0, 3.0)
+    xs = np.array([0.1, 0.4, 0.8])
+    np.testing.assert_allclose(np.asarray(d1.logpdf(xs)), ref1.logpdf(xs),
+                               rtol=1e-4)
+    # general case: closed-form mean b*B(1+1/a, b) + cdf round trip
+    import scipy.special as sps_
+    a, b = 2.0, 5.0
+    d = ka.Kumaraswamy(a, b)
+    x = draws(d)
+    mean = b * sps_.beta(1 + 1 / a, b)
+    assert abs(x.mean() - mean) < 0.01
+    qs = np.array([0.2, 0.5, 0.9], np.float32)
+    np.testing.assert_allclose(np.asarray(d.cdf(d.quantile(qs))), qs,
+                               atol=1e-5)
+    assert float(d.logpdf(1.5)) == -np.inf
+
+
+def test_vonmises():
+    d = ka.VonMises(0.5, 2.0)
+    ref = st.vonmises(2.0, loc=0.5)
+    x = draws(d)
+    assert np.abs(x - 0.5).max() <= np.pi + 1e-5
+    # circular mean
+    assert abs(np.angle(np.exp(1j * x).mean()) - 0.5) < 0.02
+    xs = np.array([-0.5, 0.5, 1.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    # table-inverse sampling: KS test against scipy
+    ks = st.kstest(x[:2000], ref.cdf)
+    assert ks.pvalue > 1e-3
+
+
+def test_erlang():
+    d = ka.Erlang(4, 0.5)
+    ref = st.gamma(4, scale=0.5)
+    xs = np.array([0.5, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    with pytest.raises(ValueError):
+        ka.Erlang(2.5, 1.0)
+
+
+def test_beta_binomial():
+    d = ka.BetaBinomial(10, 2.0, 3.0)
+    ref = st.betabinom(10, 2.0, 3.0)
+    x = draws(d)
+    assert x.dtype == np.int32 and x.min() >= 0 and x.max() <= 10
+    assert abs(x.mean() - ref.mean()) < 0.05
+    assert abs(x.std() - ref.std()) < 0.05
+    ks = np.arange(0, 11)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)), ref.logpmf(ks),
+                               rtol=1e-3, atol=1e-3)
+    assert float(d.logpdf(11)) == -np.inf
+
+
+def test_hypergeometric():
+    d = ka.Hypergeometric(7, 5, 6)  # 7 successes, 5 failures, 6 draws
+    ref = st.hypergeom(12, 7, 6)
+    x = draws(d)
+    assert x.min() >= 1 and x.max() <= 6  # support max(0,6-5)..min(6,7)
+    assert abs(x.mean() - ref.mean()) < 0.03
+    ks = np.arange(1, 7)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)), ref.logpmf(ks),
+                               rtol=1e-4, atol=1e-5)
+    assert float(d.logpdf(0)) == -np.inf
+    assert float(d.logpdf(7)) == -np.inf
+
+
+def test_skellam():
+    d = ka.Skellam(3.0, 1.5)
+    ref = st.skellam(3.0, 1.5)
+    x = draws(d)
+    assert abs(x.mean() - 1.5) < 0.05
+    assert abs(x.std() - ref.std()) < 0.05
+    ks = np.arange(-6, 10)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)), ref.logpmf(ks),
+                               rtol=1e-3, atol=1e-3)
+    # larger rates exercise the series length heuristic
+    d2 = ka.Skellam(40.0, 35.0)
+    ref2 = st.skellam(40.0, 35.0)
+    ks2 = np.arange(-20, 35, 5)
+    np.testing.assert_allclose(np.asarray(d2.logpdf(ks2)),
+                               ref2.logpmf(ks2), rtol=1e-3, atol=2e-3)
+
+
+def test_tier3_in_factored_prior():
+    # every new distribution plays in a Factored prior end-to-end
+    pri = ka.Factored(ka.Arcsine(0.0, 1.0), ka.VonMises(0.0, 1.0),
+                      ka.BetaBinomial(5, 1.0, 1.0), ka.Skellam(2.0, 2.0))
+    s = pri.sample_tree(jax.random.key(0))
+    lp = pri.logpdf(s)
+    assert np.isfinite(float(lp))
+    pushed = pri.push(s)
+    assert pushed[2].dtype == jnp.int32
+    assert pushed[3].dtype == jnp.int32
