@@ -50,7 +50,7 @@ def test_kernel_pipeline_interpret_vs_numpy_golden():
     pallas_call(interpret=True) with the deterministic bit stub, and
     check the full masking/Box-Muller/moment pipeline value-for-value
     against an independent numpy golden model fed identical bits."""
-    from kissabc_tpu.ops.pallas_kernels import stub_bits_numpy
+    from kissabc_tpu.ops.pallas_kernels import _plan_tiles, stub_bits_numpy
 
     n, ndraws, block, chunk = 300, 700, 256, 128  # ragged on purpose
     rng = np.random.default_rng(7)
@@ -63,38 +63,39 @@ def test_kernel_pipeline_interpret_vs_numpy_golden():
         block=block, chunk=chunk, interpret=True, bits="stub"))
 
     # ---- golden model (pure numpy, mirrors the kernel's math) ----
-    npad = -(-n // block) * block
-    npad = 1 << (npad - 1).bit_length()
-    npad = max(npad, block)
-    npad = -(-npad // block) * block
+    npad, wt = _plan_tiles(n, block, walker_tiles=8)
     mu_p = np.zeros((npad,), np.float32)
     sg_p = np.zeros((npad,), np.float32)
     mu_p[:n], sg_p[:n] = mu, sg
     nchunks = -(-ndraws // (2 * chunk))
     out = np.zeros((npad,), np.float32)
-    for pid in range(npad // block):
-        s1 = np.zeros((block,), np.float64)
-        s2 = np.zeros((block,), np.float64)
-        for j in range(nchunks):
-            b1 = stub_bits_numpy(pid, seed, 2 * j, (block, chunk))
-            b2 = stub_bits_numpy(pid, seed, 2 * j + 1, (block, chunk))
-            u1 = ((b1 >> 9) | np.uint32(0x3F800000)).view(np.float32) - 1.0
-            u2 = ((b2 >> 9) | np.uint32(0x3F800000)).view(np.float32) - 1.0
-            r = np.sqrt(-2.0 * np.log1p(-u1.astype(np.float64)))
-            ang = 2.0 * np.pi * u2.astype(np.float64)
-            za = r * np.cos(ang)
-            zb = r * np.sin(ang)
-            lane = np.arange(chunk)[None, :]
-            za = np.where(2 * j * chunk + lane < ndraws, za, 0.0)
-            zb = np.where((2 * j + 1) * chunk + lane < ndraws, zb, 0.0)
-            s1 += za.sum(1) + zb.sum(1)
-            s2 += (za * za).sum(1) + (zb * zb).sum(1)
-        mz = s1 / ndraws
-        vz = s2 / ndraws - mz * mz
-        blk = slice(pid * block, (pid + 1) * block)
-        d1 = (mu_p[blk] + sg_p[blk] * mz) - 2.0
-        d2 = (sg_p[blk] * np.sqrt(np.maximum(vz, 0.0)) - 0.04) * 50.0
-        out[blk] = np.sqrt(d1 * d1 + d2 * d2)
+    for pid in range(npad // (wt * block)):
+        for sb in range(wt):
+            s1 = np.zeros((block,), np.float64)
+            s2 = np.zeros((block,), np.float64)
+            for j in range(nchunks):
+                ctr = 2 * (sb * nchunks + j)
+                b1 = stub_bits_numpy(pid, seed, ctr, (block, chunk))
+                b2 = stub_bits_numpy(pid, seed, ctr + 1, (block, chunk))
+                u1 = (((b1 >> 9) | np.uint32(0x3F800000)).view(np.float32)
+                      - 1.0)
+                u2 = (((b2 >> 9) | np.uint32(0x3F800000)).view(np.float32)
+                      - 1.0)
+                r = np.sqrt(-2.0 * np.log1p(-u1.astype(np.float64)))
+                ang = 2.0 * np.pi * u2.astype(np.float64)
+                za = r * np.cos(ang)
+                zb = r * np.sin(ang)
+                lane = np.arange(chunk)[None, :]
+                za = np.where(2 * j * chunk + lane < ndraws, za, 0.0)
+                zb = np.where((2 * j + 1) * chunk + lane < ndraws, zb, 0.0)
+                s1 += za.sum(1) + zb.sum(1)
+                s2 += (za * za).sum(1) + (zb * zb).sum(1)
+            mz = s1 / ndraws
+            vz = s2 / ndraws - mz * mz
+            blk = slice((pid * wt + sb) * block, (pid * wt + sb + 1) * block)
+            d1 = (mu_p[blk] + sg_p[blk] * mz) - 2.0
+            d2 = (sg_p[blk] * np.sqrt(np.maximum(vz, 0.0)) - 0.04) * 50.0
+            out[blk] = np.sqrt(d1 * d1 + d2 * d2)
 
     np.testing.assert_allclose(got, out[:n], rtol=2e-4, atol=2e-5)
     # sanity: the stub stream is "uniform enough" that the costs sit in
