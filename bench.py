@@ -485,23 +485,25 @@ def main():
     # Cold-attach absorber first (see row_warmup): the first device op
     # after TPU idle stalls 2-4 min regardless of which child issues it.
     # Give it everything except a reserve for the headline row itself;
-    # once it lands, every real row runs warm (7-40 s with the committed
+    # once it lands, every real row runs warm (8-40 s with the committed
     # compile cache).
     warm = run_row("warmup", remaining() - 150)
     if warm:
         log(f"tunnel attach: {warm['attach_s']:.0f}s")
 
-    # Headline: the Pallas-cost sweep is the known winner (~40M
-    # updates/s; ~40s warm including cache loads).
+    # Headline: the Pallas-cost sweep is the known winner (~100M
+    # updates/s; ~11s warm including cache loads).
     pallas = run_row("sweep-pallas", min(remaining() - 60, 150))
     if pallas:
         emit_headline(pallas["updates_per_s"])
 
-    xla = run_row("sweep-xla", min(remaining() - 45, 60))
+    # iters=500 makes these two slower than the other diagnostics
+    # (sweep-xla ~23s, sweep-fused ~38s warm): 90s caps
+    xla = run_row("sweep-xla", min(remaining() - 45, 90))
     if xla:
         emit_headline(xla["updates_per_s"])
 
-    fused = run_row("sweep-fused", min(remaining() - 30, 60))
+    fused = run_row("sweep-fused", min(remaining() - 30, 90))
     if fused:
         emit_headline(fused["updates_per_s"])
 
@@ -514,7 +516,7 @@ def main():
             emit_headline(ais["updates_per_s"])
 
     # Diagnostics, budget-gated, cheapest-information-first. Warm rows
-    # take 7-10 s; the 60 s cap means a transiently stuck or cache-miss
+    # take 6-15 s; the 60 s cap means a transiently stuck or cache-miss
     # row is abandoned quickly instead of starving everything behind it.
     def cap():
         return min(remaining() - 30, 60)

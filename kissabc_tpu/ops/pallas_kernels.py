@@ -144,15 +144,19 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
 
     Grid: one program per SUPERBLOCK of ``walker_tiles * block`` walkers.
     Each program seeds the per-core PRNG once (seed + program_id:
-    independent streams per program) and loops over walker tiles x
-    draw-axis lane-chunks, generating (block, chunk) slabs and
-    accumulating z-moment sums — peak live VMEM stays ~block*chunk
-    floats regardless of ndraws or walker_tiles. Multiple tiles per
-    program amortize the per-program pipeline ramp: with one
-    (1024, 512) slab per program the generator measured 72 Gnormals/s
-    on v5e; with 8 tiles it matches the 8-chunk microbench (~120). The
-    walker statistics use z-moments (mean/E[z^2]) and apply mu/sigma at
-    the end, so there is no catastrophic cancellation against mu.
+    independent streams per program) and runs a fori_loop over walker
+    tiles x draw-axis lane-chunks, generating (block, chunk) slabs and
+    accumulating z-moment sums. Peak live VMEM is ~11 (block, chunk)
+    slabs (~22 MB at 1024x512 — the Mosaic scheduler keeps the
+    Box-Muller temporaries of adjacent chunks alive), above the 16 MB
+    default scoped-VMEM stack, hence the 64 MB ``vmem_limit_bytes``
+    raise on the pallas_call; do NOT size changes against the old
+    "one slab live" mental model. walker_tiles amortizes per-program
+    seeding/ramp; measured ~neutral vs one tile per program at equal
+    timed work (the big r2 wins were the polynomial sincos and honest
+    long-scan measurement), kept because it costs nothing. The walker
+    statistics use z-moments (mean/E[z^2]) and apply mu/sigma at the
+    end, so there is no catastrophic cancellation against mu.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -282,10 +286,7 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    npad = -(-n // block) * block
-    npad = 1 << (npad - 1).bit_length()
-    npad = max(npad, block)
-    npad = -(-npad // block) * block
+    npad = _plan_tiles(n, block, 1)[0]  # same pow2 bucketing policy
     nchunks = -(-ndraws // (2 * chunk))
     exp_one = np.uint32(0x3F800000)
     inv_n = np.float32(1.0 / ndraws)

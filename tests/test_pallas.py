@@ -58,12 +58,15 @@ def test_kernel_pipeline_interpret_vs_numpy_golden():
     sg = rng.uniform(0.01, 0.1, n).astype(np.float32)
     seed = 42
 
+    walker_tiles = 8  # passed to BOTH kernel and golden model: the
+    # (pid, sb) stub-bit stream layout must stay locked between them
     got = np.asarray(normal_summary_cost(
         jnp.asarray(mu), jnp.asarray(sg), jnp.uint32(seed), ndraws=ndraws,
-        block=block, chunk=chunk, interpret=True, bits="stub"))
+        block=block, chunk=chunk, interpret=True, bits="stub",
+        walker_tiles=walker_tiles))
 
     # ---- golden model (pure numpy, mirrors the kernel's math) ----
-    npad, wt = _plan_tiles(n, block, walker_tiles=8)
+    npad, wt = _plan_tiles(n, block, walker_tiles)
     mu_p = np.zeros((npad,), np.float32)
     sg_p = np.zeros((npad,), np.float32)
     mu_p[:n], sg_p[:n] = mu, sg
