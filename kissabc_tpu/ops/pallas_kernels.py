@@ -451,6 +451,38 @@ def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
     return step
 
 
+def shard_batched_cost(cost_batched, mesh, axis: str = "walker"):
+    """Make a batched cost mesh-ready: run it per-shard under shard_map.
+
+    GSPMD partitions plain-XLA costs automatically via the walker-axis
+    sharding constraints (parallel/mesh.py), but a ``pallas_call`` is a
+    custom call with no partitioning rule — under a mesh it would be
+    replicated or rejected. This wrapper explicitly maps the batched
+    cost over the mesh ``axis`` shards and folds ``jax.lax.axis_index``
+    into the key so every shard draws an INDEPENDENT stream (without
+    it, each device's in-kernel PRNG would be seeded identically and
+    the shards would simulate the same noise).
+
+    Use with any ``cost_batched(thetas_tree, key) -> costs`` whose
+    per-walker costs are independent (true for all kernels here)::
+
+        cost = shard_batched_cost(make_flagship_cost_batched(), mesh)
+        smc(prior, cost, cost_vectorized=True, mesh=mesh, ...)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(thetas, key):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return cost_batched(thetas, k)
+
+    def sharded(thetas, key):
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=P(axis), check_vma=False)(thetas, key)
+
+    return sharded
+
+
 def make_flagship_cost_batched(ndraws: int = 1000, target_mu: float = 2.0,
                                target_sd: float = 0.04,
                                sd_weight: float = 50.0, block: int = 1024):

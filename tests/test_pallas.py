@@ -199,3 +199,41 @@ def test_sincos_2pi_accuracy():
     # unit circle to f32 accuracy
     r2 = np.asarray(cv) ** 2 + np.asarray(sv) ** 2
     assert np.abs(r2 - 1.0).max() < 1e-6
+
+
+def test_shard_batched_cost_on_mesh():
+    """pallas costs are custom calls with no GSPMD partitioning rule:
+    mesh runs must route them through shard_batched_cost (explicit
+    shard_map + per-shard key folding). Off-TPU this exercises the
+    wrapper mechanics over the real 8-device CPU mesh with the
+    fallback simulator: per-shard streams must be independent and the
+    composed smc must still recover the posterior."""
+    import kissabc_tpu as ka
+    from kissabc_tpu.ops.pallas_kernels import shard_batched_cost
+    from kissabc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(walker=8)
+    base = make_flagship_cost_batched()
+    cost = shard_batched_cost(base, mesh)
+
+    n = 1024
+    mu = jnp.full((n,), 2.0)
+    sg = jnp.full((n,), 0.04)
+    c = np.asarray(jax.jit(cost)((mu, sg), jax.random.key(0)))
+    assert c.shape == (n,) and np.isfinite(c).all()
+    # independent streams per shard: no two shard-blocks identical
+    blocks = c.reshape(8, -1)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.allclose(blocks[i], blocks[j])
+    # statistics match the unsharded cost at the true parameters
+    c0 = np.asarray(base((mu, sg), jax.random.key(1)))
+    assert abs(c.mean() - c0.mean()) < 0.005
+
+    # end-to-end: sharded smc with the wrapped vectorized cost
+    prior = ka.Factored(ka.Uniform(1, 3),
+                        ka.TruncatedNormal(0, 0.05, 0, 100))
+    res = ka.smc(prior, cost, nparticles=512, epstol=0.02,
+                 cost_vectorized=True, mesh=mesh, key=5)
+    assert res.P[0].approx(2.0, atol=0.05)
+    assert res.P[1].approx(0.04, atol=0.01)
