@@ -19,3 +19,12 @@ def test_example_n1(capsys):
     assert len(means) == 2, out
     for m in means:
         assert abs(m - 2.0) < 0.05, out
+
+
+def test_example_socks(capsys):
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_socks.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "n_socks" in out and "prop_pairs" in out
