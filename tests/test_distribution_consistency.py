@@ -1,0 +1,106 @@
+"""Generic cross-distribution consistency battery.
+
+Every distribution must be internally consistent regardless of where its
+formulas came from: quantile inverts cdf, samples follow the cdf (KS),
+and discrete supports return int32 samples with finite logpmf. This is
+regression insurance on top of the per-distribution scipy oracles in
+test_distributions.py — a future formula edit that breaks one leg of a
+distribution fails here even if no oracle test covers that leg.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import kissabc_tpu as ka
+
+KEY = jax.random.key(11)
+
+# (constructor args) chosen away from degenerate corners
+CONTINUOUS = [
+    ka.Uniform(-1.0, 2.0),
+    ka.Normal(0.5, 1.5),
+    ka.Exponential(2.0),
+    ka.Beta(2.0, 3.0),
+    ka.Gamma(3.0, 1.5),
+    ka.LogNormal(0.2, 0.5),
+    ka.Laplace(0.0, 1.0),
+    ka.Cauchy(0.0, 1.0),
+    ka.StudentT(5.0),
+    ka.Weibull(2.0, 1.0),
+    ka.Chisq(4.0),
+    ka.FDist(5.0, 7.0),
+    ka.Logistic(0.0, 1.0),
+    ka.Rayleigh(1.5),
+    ka.Pareto(3.0, 1.0),
+    ka.InverseGamma(3.0, 2.0),
+    ka.Gumbel(0.0, 1.0),
+    ka.TriangularDist(0.0, 2.0, 0.5),
+    ka.Arcsine(0.0, 1.0),
+    ka.Semicircle(1.0),
+    ka.Frechet(2.5, 1.0),
+    ka.Levy(0.0, 1.0),
+    ka.GeneralizedPareto(0.0, 1.0, 0.2),
+    ka.GeneralizedPareto(0.0, 1.0, 0.0),
+    ka.Kumaraswamy(2.0, 3.0),
+    ka.TruncatedNormal(0.0, 1.0, -1.0, 2.0),
+    ka.Erlang(3, 0.5),
+]
+
+DISCRETE = [
+    ka.Bernoulli(0.3),
+    ka.Binomial(12, 0.4),
+    ka.Geometric(0.35),
+    ka.Poisson(4.0),
+    ka.NegativeBinomial(5.0, 0.4),
+    ka.DiscreteUniform(-2, 7),
+    ka.Categorical([0.2, 0.5, 0.3]),
+    ka.BetaBinomial(9, 2.0, 2.0),
+    ka.Hypergeometric(8, 6, 7),
+    ka.Skellam(2.5, 1.5),
+]
+
+
+@pytest.mark.parametrize("d", CONTINUOUS, ids=lambda d: repr(d))
+def test_continuous_consistency(d):
+    n = 8000
+    x = np.asarray(d.sample(KEY, (n,)))
+    assert x.shape == (n,) and np.isfinite(x).all()
+    # logpdf finite at sampled points
+    lp = np.asarray(d.logpdf(jnp.asarray(x)))
+    assert np.isfinite(lp).all(), f"{d!r}: non-finite logpdf at samples"
+    if hasattr(d, "cdf"):
+        # samples follow the claimed cdf (KS against the dist's own cdf)
+        ks = st.kstest(x[:4000], lambda v: np.asarray(d.cdf(jnp.asarray(
+            np.asarray(v, np.float32)))).astype(np.float64))
+        assert ks.pvalue > 1e-4, f"{d!r}: KS p={ks.pvalue}"
+    if hasattr(d, "cdf") and hasattr(d, "quantile"):
+        qs = np.asarray([0.05, 0.25, 0.5, 0.75, 0.95], np.float32)
+        xq = np.asarray(d.quantile(jnp.asarray(qs)))
+        back = np.asarray(d.cdf(jnp.asarray(xq)))
+        np.testing.assert_allclose(back, qs, atol=5e-3,
+                                   err_msg=f"{d!r}: cdf(quantile(q)) != q")
+
+
+@pytest.mark.parametrize("d", DISCRETE, ids=lambda d: repr(d))
+def test_discrete_consistency(d):
+    n = 8000
+    x = np.asarray(d.sample(KEY, (n,)))
+    assert x.dtype == np.int32, f"{d!r}: samples must be int32"
+    lp = np.asarray(d.logpdf(jnp.asarray(x)))
+    assert np.isfinite(lp).all(), f"{d!r}: non-finite logpmf at samples"
+    # empirical pmf matches exp(logpmf) on the observed support
+    vals, counts = np.unique(x, return_counts=True)
+    emp = counts / n
+    model = np.exp(np.asarray(d.logpdf(jnp.asarray(vals))))
+    # chi-square-ish bound: 5 sigma of the multinomial sampling error
+    err = 5.0 * np.sqrt(np.maximum(model * (1 - model), 1e-12) / n)
+    bad = np.abs(emp - model) > np.maximum(err, 0.01)
+    assert not bad.any(), (
+        f"{d!r}: pmf mismatch at {vals[bad]}: emp={emp[bad]} vs "
+        f"model={model[bad]}")
+    # push policy: float-evolved values snap back onto the support dtype
+    pushed = d.push(jnp.asarray(x, jnp.float32) + 0.3)
+    assert pushed.dtype == jnp.int32
