@@ -32,7 +32,7 @@ from .distributions import (  # noqa: F401
     Logistic, LogNormal, MultivariateNormal, Multinomial, MvNormal,
     NegativeBinomial, Normal, Pareto, Poisson, Product, Rayleigh,
     Semicircle, Skellam, StudentT, TDist, TriangularDist, Truncated,
-    TruncatedNormal, Uniform, VonMises, Weibull,
+    TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,
 )
 from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
 from .core.density import (  # noqa: F401

@@ -1151,11 +1151,128 @@ def _host_sf(base: Distribution, x: float) -> float:
     raise TypeError(f"Truncated: no host sf for {type(base).__name__}")
 
 
+def _host_frozen(base: Distribution):
+    """scipy frozen equivalent of a discrete base — host pmf/cdf/tails
+    for ``TruncatedDiscrete`` tabulation."""
+    from scipy import stats as _st
+    if isinstance(base, Poisson):
+        return _st.poisson(float(base.lam))
+    if isinstance(base, Binomial):
+        return _st.binom(int(base.n), float(base.p))
+    if isinstance(base, Geometric):  # failures before success: loc=-1
+        return _st.geom(float(base.p), loc=-1)
+    if isinstance(base, NegativeBinomial):
+        return _st.nbinom(float(base.r), float(base.p))
+    if isinstance(base, Bernoulli):
+        return _st.bernoulli(float(base.p))
+    if isinstance(base, DiscreteUniform):
+        return _st.randint(int(base.a), int(base.b) + 1)
+    if isinstance(base, BetaBinomial):
+        return _st.betabinom(int(base.n), float(base.alpha),
+                             float(base.beta))
+    if isinstance(base, Hypergeometric):
+        return _st.hypergeom(base.s + base.f, base.s, base.n)
+    if isinstance(base, Skellam):
+        return _st.skellam(float(base.mu1), float(base.mu2))
+    raise TypeError(
+        f"Truncated: no host pmf for discrete {type(base).__name__}")
+
+
+class TruncatedDiscrete(Distribution):
+    """Truncation of a DISCRETE base to the integers in [lo, hi]
+    (inclusive, like Distributions.jl's ``truncated``). The support is
+    tabulated on the host via the scipy twin of the base — an unbounded
+    side is capped where the base tail mass drops below 1e-12."""
+
+    discrete = True
+
+    def __init__(self, base, lo, hi):
+        object.__setattr__(self, "base", base)
+        object.__setattr__(self, "lo", float(lo))
+        object.__setattr__(self, "hi", float(hi))
+        self._post_init()
+
+    def _post_init(self):
+        frozen = _host_frozen(self.base)
+        klo = (int(np.ceil(self.lo)) if np.isfinite(self.lo)
+               else int(frozen.ppf(1e-12)))
+        khi = (int(np.floor(self.hi)) if np.isfinite(self.hi)
+               else int(frozen.isf(1e-12)))
+        if khi < klo:
+            raise ValueError(
+                f"TruncatedDiscrete({self.base!r}, {self.lo}, {self.hi}): "
+                "empty integer support.")
+        ks = np.arange(klo, khi + 1)
+        pmf = frozen.pmf(ks)
+        mass = float(pmf.sum())
+        if not mass > 0.0:
+            raise ValueError(
+                f"TruncatedDiscrete({self.base!r}, {self.lo}, {self.hi}): "
+                "the truncation window has zero probability mass.")
+        with np.errstate(divide="ignore"):
+            logpmf = np.log(pmf / mass)
+        object.__setattr__(self, "_klo", klo)
+        object.__setattr__(self, "_khi", khi)
+        object.__setattr__(self, "_logpmf", logpmf.astype(_f32))
+        object.__setattr__(self, "_cdf_tab",
+                           np.cumsum(pmf / mass).astype(_f32))
+
+    def sample(self, key, shape=()):
+        idx = jax.random.categorical(key, self._logpmf, shape=shape)
+        return (idx + self._klo).astype(jnp.int32)
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= self._klo) & (xf <= self._khi)
+        xi = jnp.clip(jnp.asarray(x, jnp.int32) - self._klo, 0,
+                      self._khi - self._klo)
+        return jnp.where(inside, jnp.take(self._logpmf, xi), _NEG_INF)
+
+    def cdf(self, x):
+        xi = jnp.clip(jnp.floor(jnp.asarray(x, jnp.float32)).astype(
+            jnp.int32) - self._klo, -1, self._khi - self._klo)
+        tab = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                               jnp.asarray(self._cdf_tab)])
+        return jnp.take(tab, xi + 1)
+
+    def quantile(self, q):
+        idx = jnp.searchsorted(jnp.asarray(self._cdf_tab),
+                               jnp.asarray(q, jnp.float32))
+        return (jnp.clip(idx, 0, self._khi - self._klo)
+                + self._klo).astype(jnp.int32)
+
+    def __repr__(self):
+        return f"Truncated({self.base!r}, {self.lo}, {self.hi})"
+
+
+def _td_flatten(d):
+    return (), (d.base, d.lo, d.hi)
+
+
+def _td_unflatten(aux, _):
+    obj = object.__new__(TruncatedDiscrete)
+    for f, c in zip(("base", "lo", "hi"), aux):
+        object.__setattr__(obj, f, c)
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(TruncatedDiscrete, _td_flatten,
+                                   _td_unflatten)
+
+
 class Truncated(Distribution):
     """Truncation of a base distribution with a ``quantile`` to [lo, hi] —
     covers the reference's ``Truncated(Normal(0,0.05),0,100)`` usage
     (reference ``test/runtests.jl:288``). Normalization constants are
-    precomputed on the host."""
+    precomputed on the host. A DISCRETE base dispatches to
+    ``TruncatedDiscrete`` (host-tabulated integer support), mirroring
+    Distributions.jl's ``truncated`` over discrete distributions."""
+
+    def __new__(cls, base=None, lo=None, hi=None):
+        if cls is Truncated and getattr(base, "discrete", False):
+            return TruncatedDiscrete(base, lo, hi)
+        return object.__new__(cls)
 
     def __init__(self, base, lo, hi):
         object.__setattr__(self, "base", base)
@@ -1687,7 +1804,8 @@ __all__ = [
     "Chisq", "FDist", "Logistic", "Rayleigh", "Pareto", "InverseGamma",
     "Gumbel", "TriangularDist", "Arcsine", "Semicircle", "Frechet",
     "Levy", "GeneralizedPareto", "Kumaraswamy", "VonMises", "Erlang",
-    "Truncated", "TruncatedNormal", "DiscreteUniform", "Bernoulli",
+    "Truncated", "TruncatedDiscrete", "TruncatedNormal",
+    "DiscreteUniform", "Bernoulli",
     "Binomial", "BetaBinomial", "Hypergeometric", "Skellam",
     "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",
     "MultivariateNormal", "Product", "IID", "Dirichlet", "Multinomial",

@@ -648,3 +648,58 @@ def test_tier3_in_factored_prior():
     pushed = pri.push(s)
     assert pushed[2].dtype == jnp.int32
     assert pushed[3].dtype == jnp.int32
+
+
+def test_truncated_discrete_poisson():
+    # Distributions.jl parity: truncated(Poisson(4), 2, 8) — Truncated
+    # dispatches discrete bases to the host-tabulated TruncatedDiscrete
+    d = ka.Truncated(ka.Poisson(4.0), 2, 8)
+    assert isinstance(d, ka.TruncatedDiscrete) and d.discrete
+    x = draws(d)
+    assert x.dtype == np.int32 and x.min() >= 2 and x.max() <= 8
+    ref = st.poisson(4.0)
+    mass = ref.cdf(8) - ref.cdf(1)
+    ks = np.arange(2, 9)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)),
+                               ref.logpmf(ks) - np.log(mass), rtol=1e-4)
+    assert float(d.logpdf(1)) == -np.inf
+    assert float(d.logpdf(9)) == -np.inf
+    # moments against the renormalized law
+    mean = (ks * ref.pmf(ks)).sum() / mass
+    assert abs(x.mean() - mean) < 0.05
+    # cdf/quantile round trip on the lattice
+    np.testing.assert_allclose(float(d.cdf(4)),
+                               (ref.cdf(4) - ref.cdf(1)) / mass, rtol=1e-4)
+    assert int(d.quantile(0.5)) == 4
+
+
+def test_truncated_discrete_unbounded_side():
+    # one-sided truncation: lower tail cut, upper side unbounded
+    d = ka.Truncated(ka.NegativeBinomial(5.0, 0.4), 3, np.inf)
+    x = draws(d)
+    assert x.min() >= 3
+    ref = st.nbinom(5.0, 0.4)
+    mass = 1.0 - ref.cdf(2)
+    ks = np.arange(3, 20)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)),
+                               ref.logpmf(ks) - np.log(mass), rtol=1e-3)
+
+
+def test_truncated_discrete_in_factored_smc():
+    # end-to-end: truncated-discrete prior keeps the integer push policy
+    import jax.numpy as jnp
+    pri = ka.Factored(ka.Truncated(ka.Poisson(10.0), 5, 20),
+                      ka.Uniform(0.0, 1.0))
+    s = pri.sample_tree(jax.random.key(0))
+    assert s[0].dtype == jnp.int32
+    assert np.isfinite(float(pri.logpdf(s)))
+
+    def cost(th, key):
+        k, u = th
+        return jnp.abs(k.astype(jnp.float32) - 12.0) * 0.1 + jnp.abs(u - 0.5)
+
+    res = ka.smc(pri, cost, nparticles=256, epstol=0.2, max_iters=40, key=3)
+    ks = np.asarray(res.P[0].particles)
+    assert ks.dtype in (np.int32, np.float32)
+    assert (np.round(ks) == ks).all()
+    assert 5 <= ks.min() and ks.max() <= 20
