@@ -29,7 +29,8 @@ from .distributions import (  # noqa: F401
     Chisq, Dirichlet, DiscreteUniform, Distribution, Erlang, Exponential,
     Factored, FDist, Frechet, Gamma, GeneralizedPareto, Geometric, Gumbel,
     Hypergeometric, IID, InverseGamma, Kumaraswamy, Laplace, Levy,
-    Logistic, LogNormal, MultivariateNormal, Multinomial, MvNormal,
+    Logistic, LogNormal, Mixture, MixtureModel,
+    MultivariateNormal, Multinomial, MvNormal,
     NegativeBinomial, Normal, Pareto, Poisson, Product, Rayleigh,
     Semicircle, Skellam, StudentT, TDist, TriangularDist, Truncated,
     TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,

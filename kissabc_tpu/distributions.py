@@ -1369,6 +1369,95 @@ def TruncatedNormal(mu, sigma, lo, hi):
     return Truncated(Normal(mu, sigma), lo, hi)
 
 
+class Mixture(Distribution):
+    """Finite mixture of same-kind univariate components
+    (Distributions.jl's ``MixtureModel(components, weights)``; alias
+    ``MixtureModel``). All components must agree on ``discrete``;
+    weights default to uniform and are renormalized.
+
+    Sampling draws every component once and selects by a categorical
+    index — static shapes, no data-dependent branching (TPU control-flow
+    rule); the K-fold oversampling is irrelevant for the small K of
+    practical mixture priors."""
+
+    def __init__(self, components, weights=None):
+        components = tuple(components)
+        if not components:
+            raise ValueError("Mixture needs at least one component")
+        if len({bool(c.discrete) for c in components}) != 1:
+            raise ValueError(
+                "Mixture components must all be discrete or all continuous")
+        if weights is None:
+            weights = np.full(len(components), 1.0 / len(components))
+        w = np.asarray(weights, np.float64)
+        if w.shape != (len(components),) or (w < 0).any() or w.sum() <= 0:
+            raise ValueError("Mixture weights must be nonnegative, one per "
+                             "component, with positive sum")
+        object.__setattr__(self, "components", components)
+        object.__setattr__(self, "weights", (w / w.sum()).astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(self, "discrete",
+                           bool(self.components[0].discrete))
+        with np.errstate(divide="ignore"):
+            object.__setattr__(self, "_logw",
+                               np.log(self.weights).astype(_f32))
+
+    def sample(self, key, shape=()):
+        kk, kc = jax.random.split(key)
+        idx = jax.random.categorical(kk, self._logw, shape=shape)
+        draws = jnp.stack([c.sample(k, shape) for c, k in zip(
+            self.components,
+            jax.random.split(kc, len(self.components)))])
+        out = jnp.take_along_axis(
+            draws.reshape(len(self.components), -1),
+            idx.reshape(1, -1), axis=0).reshape(shape)
+        return out.astype(jnp.int32) if self.discrete else out
+
+    def logpdf(self, x):
+        lps = jnp.stack([lw + c.logpdf(x)
+                         for lw, c in zip(self._logw, self.components)])
+        return jax.scipy.special.logsumexp(lps, axis=0)
+
+    def cdf(self, x):
+        return sum(w * c.cdf(x)
+                   for w, c in zip(self.weights, self.components))
+
+    def quantile(self, q):
+        if self.discrete:
+            raise NotImplementedError(
+                "Mixture.quantile is available for continuous mixtures")
+        los = [float(c.quantile(np.float32(1e-6)))
+               for c in self.components]
+        his = [float(c.quantile(np.float32(1.0 - 1e-6)))
+               for c in self.components]
+        return _bisect_quantile(self.cdf, min(los), max(his), q)
+
+    def __repr__(self):
+        return (f"Mixture({list(self.components)!r}, "
+                f"weights={self.weights})")
+
+
+MixtureModel = Mixture
+
+
+def _mix_flatten(d):
+    return (), (d.components, d.weights.tobytes(), d.weights.shape)
+
+
+def _mix_unflatten(aux, _):
+    obj = object.__new__(Mixture)
+    object.__setattr__(obj, "components", aux[0])
+    object.__setattr__(obj, "weights",
+                       np.frombuffer(aux[1], dtype=_f32).reshape(aux[2]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Mixture, _mix_flatten, _mix_unflatten)
+
+
 # --------------------------------------------------------------------------
 # Discrete univariate
 # --------------------------------------------------------------------------
@@ -1805,6 +1894,7 @@ __all__ = [
     "Gumbel", "TriangularDist", "Arcsine", "Semicircle", "Frechet",
     "Levy", "GeneralizedPareto", "Kumaraswamy", "VonMises", "Erlang",
     "Truncated", "TruncatedDiscrete", "TruncatedNormal",
+    "Mixture", "MixtureModel",
     "DiscreteUniform", "Bernoulli",
     "Binomial", "BetaBinomial", "Hypergeometric", "Skellam",
     "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",

@@ -703,3 +703,50 @@ def test_truncated_discrete_in_factored_smc():
     assert ks.dtype in (np.int32, np.float32)
     assert (np.round(ks) == ks).all()
     assert 5 <= ks.min() and ks.max() <= 20
+
+
+def test_mixture_continuous():
+    # Distributions.jl MixtureModel parity: 0.3 N(-2,1) + 0.7 N(3,0.5)
+    d = ka.Mixture([ka.Normal(-2.0, 1.0), ka.Normal(3.0, 0.5)],
+                   [0.3, 0.7])
+    x = draws(d)
+    mean = 0.3 * -2.0 + 0.7 * 3.0
+    assert abs(x.mean() - mean) < 0.05
+    xs = np.array([-3.0, 0.0, 2.5, 3.5])
+    ref = np.log(0.3 * st.norm(-2, 1).pdf(xs) + 0.7 * st.norm(3, 0.5).pdf(xs))
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref, rtol=1e-4)
+    refc = 0.3 * st.norm(-2, 1).cdf(xs) + 0.7 * st.norm(3, 0.5).cdf(xs)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), refc, atol=1e-5)
+    # quantile inverts cdf (bisection)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(float(d.cdf(d.quantile(np.float32(q)))) - q) < 1e-4
+    # KS against the mixture law
+    ks = st.kstest(x[:4000], lambda v: 0.3 * st.norm(-2, 1).cdf(v)
+                   + 0.7 * st.norm(3, 0.5).cdf(v))
+    assert ks.pvalue > 1e-3
+    # MixtureModel alias + uniform default weights
+    d2 = ka.MixtureModel([ka.Uniform(0, 1), ka.Uniform(2, 3)])
+    x2 = draws(d2)
+    assert abs((x2 < 1.5).mean() - 0.5) < 0.03
+
+
+def test_mixture_discrete_and_validation():
+    d = ka.Mixture([ka.Poisson(2.0), ka.Poisson(10.0)], [0.5, 0.5])
+    assert d.discrete
+    x = draws(d)
+    assert x.dtype == np.int32
+    ks = np.arange(0, 20)
+    ref = np.log(0.5 * st.poisson(2).pmf(ks) + 0.5 * st.poisson(10).pmf(ks))
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)), ref, rtol=1e-3)
+    import pytest
+    with pytest.raises(ValueError, match="discrete or all continuous"):
+        ka.Mixture([ka.Normal(0, 1), ka.Poisson(2.0)])
+    with pytest.raises(ValueError, match="weights"):
+        ka.Mixture([ka.Normal(0, 1)], [-1.0])
+    # mixture prior end-to-end in a Factored smc
+    import jax.numpy as jnp
+    pri = ka.Factored(ka.Mixture([ka.Normal(-2, 0.5), ka.Normal(2, 0.5)]),
+                      ka.Uniform(0, 1))
+    res = ka.smc(pri, lambda th, key: jnp.abs(jnp.abs(th[0]) - 2.0),
+                 nparticles=256, epstol=0.1, max_iters=40, key=1)
+    assert np.isfinite(np.asarray(res.P[0].particles)).all()
