@@ -25,7 +25,7 @@ distributions and the ``Particles`` result type at the top level.
 """
 
 from .distributions import (  # noqa: F401
-    Arcsine, Bernoulli, Beta, BetaBinomial, Binomial, Categorical, Cauchy,
+    Affine, Arcsine, Bernoulli, Beta, BetaBinomial, Binomial, Categorical, Cauchy,
     Chisq, Dirichlet, DiscreteUniform, Distribution, Erlang, Exponential,
     Factored, FDist, Frechet, Gamma, GeneralizedPareto, Geometric, Gumbel,
     Hypergeometric, IID, InverseGamma, Kumaraswamy, Laplace, Levy,

@@ -1442,6 +1442,103 @@ class Mixture(Distribution):
 MixtureModel = Mixture
 
 
+class Affine(Distribution):
+    """loc + scale * base for a CONTINUOUS univariate base —
+    Distributions.jl's location-scale idiom ``a + b * dist``. Also
+    reachable through operator sugar: ``2 + 3 * ka.Exponential(1.0)``.
+    scale may be negative (the support flips)."""
+
+    def __init__(self, loc, scale, base):
+        if getattr(base, "discrete", False):
+            raise ValueError("Affine supports continuous bases only")
+        if getattr(base, "event_dim", 0) != 0:
+            raise ValueError("Affine supports univariate bases only")
+        if float(scale) == 0.0:
+            raise ValueError("Affine needs scale != 0")
+        object.__setattr__(self, "loc", _f32(loc))
+        object.__setattr__(self, "scale", _f32(scale))
+        object.__setattr__(self, "base", base)
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(self, "_labs",
+                           _f32(np.log(abs(float(self.scale)))))
+
+    def _z(self, x):
+        return (x - self.loc) / self.scale
+
+    def sample(self, key, shape=()):
+        return self.loc + self.scale * self.base.sample(key, shape)
+
+    def logpdf(self, x):
+        return self.base.logpdf(self._z(x)) - self._labs
+
+    def cdf(self, x):
+        c = self.base.cdf(self._z(x))
+        return c if float(self.scale) > 0 else 1.0 - c
+
+    def quantile(self, q):
+        q = q if float(self.scale) > 0 else 1.0 - jnp.asarray(
+            q, jnp.float32)
+        return self.loc + self.scale * self.base.quantile(q)
+
+    def __repr__(self):
+        return f"({self.loc} + {self.scale} * {self.base!r})"
+
+
+def _aff_flatten(d):
+    return (), (float(d.loc), float(d.scale), d.base)
+
+
+def _aff_unflatten(aux, _):
+    obj = object.__new__(Affine)
+    object.__setattr__(obj, "loc", _f32(aux[0]))
+    object.__setattr__(obj, "scale", _f32(aux[1]))
+    object.__setattr__(obj, "base", aux[2])
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Affine, _aff_flatten, _aff_unflatten)
+
+
+def _affine_of(base, loc=0.0, scale=1.0):
+    """Compose affine transforms without nesting Affine-of-Affine."""
+    if isinstance(base, Affine):
+        return Affine(loc + scale * float(base.loc),
+                      scale * float(base.scale), base.base)
+    return Affine(loc, scale, base)
+
+
+def _dist_add(self, other):
+    return _affine_of(self, loc=float(other))
+
+
+def _dist_mul(self, other):
+    return _affine_of(self, scale=float(other))
+
+
+def _dist_neg(self):
+    return _affine_of(self, scale=-1.0)
+
+
+def _dist_sub(self, other):      # dist - c
+    return _affine_of(self, loc=-float(other))
+
+
+def _dist_rsub(self, other):     # c - dist
+    return _affine_of(self, loc=float(other), scale=-1.0)
+
+
+Distribution.__add__ = _dist_add
+Distribution.__radd__ = _dist_add
+Distribution.__mul__ = _dist_mul
+Distribution.__rmul__ = _dist_mul
+Distribution.__neg__ = _dist_neg
+Distribution.__sub__ = _dist_sub
+Distribution.__rsub__ = _dist_rsub
+
+
 def _mix_flatten(d):
     return (), (d.components, d.weights.tobytes(), d.weights.shape)
 
@@ -1894,7 +1991,7 @@ __all__ = [
     "Gumbel", "TriangularDist", "Arcsine", "Semicircle", "Frechet",
     "Levy", "GeneralizedPareto", "Kumaraswamy", "VonMises", "Erlang",
     "Truncated", "TruncatedDiscrete", "TruncatedNormal",
-    "Mixture", "MixtureModel",
+    "Mixture", "MixtureModel", "Affine",
     "DiscreteUniform", "Bernoulli",
     "Binomial", "BetaBinomial", "Hypergeometric", "Skellam",
     "Geometric", "NegativeBinomial", "Poisson", "Categorical", "MvNormal",

@@ -750,3 +750,42 @@ def test_mixture_discrete_and_validation():
     res = ka.smc(pri, lambda th, key: jnp.abs(jnp.abs(th[0]) - 2.0),
                  nparticles=256, epstol=0.1, max_iters=40, key=1)
     assert np.isfinite(np.asarray(res.P[0].particles)).all()
+
+
+def test_affine_location_scale():
+    # Distributions.jl `a + b*dist` idiom via operator sugar
+    d = 2.0 + 3.0 * ka.Exponential(1.0)          # shifted-scaled exp
+    assert isinstance(d, ka.Affine)
+    ref = st.expon(loc=2.0, scale=3.0)
+    x = draws(d)
+    assert x.min() >= 2.0
+    assert abs(x.mean() - ref.mean()) < 0.1
+    xs = np.array([2.5, 4.0, 9.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-4)
+    assert abs(float(d.quantile(0.6)) - ref.ppf(0.6)) < 1e-3
+    # negative scale flips the support; composition flattens Affine
+    dneg = 1.0 - ka.Exponential(2.0)
+    assert isinstance(dneg, ka.Affine) and not isinstance(dneg.base,
+                                                          ka.Affine)
+    xn = draws(dneg)
+    assert xn.max() <= 1.0
+    refn = 1.0 - st.expon(scale=2.0).ppf(0.75)
+    assert abs(float(dneg.quantile(0.25)) - refn) < 1e-3
+    np.testing.assert_allclose(float(dneg.cdf(0.0)),
+                               1.0 - st.expon(scale=2.0).cdf(1.0),
+                               rtol=1e-4)
+    # composition: 2*(1 + Normal) + 1 == Normal(3, 2)
+    dc = 2.0 * (1.0 + ka.Normal(0.0, 1.0)) + 1.0
+    np.testing.assert_allclose(np.asarray(dc.logpdf(xs)),
+                               st.norm(3.0, 2.0).logpdf(xs), rtol=1e-4)
+    # discrete bases are rejected
+    import pytest
+    with pytest.raises(ValueError, match="continuous"):
+        2.0 * ka.Poisson(3.0)
+    # works as a Factored prior component
+    pri = ka.Factored(10.0 + 0.5 * ka.Gamma(2.0, 1.0), ka.Uniform(0, 1))
+    s = pri.sample_tree(jax.random.key(0))
+    assert np.isfinite(float(pri.logpdf(s)))
