@@ -25,14 +25,21 @@ distributions and the ``Particles`` result type at the top level.
 """
 
 from .distributions import (  # noqa: F401
-    Affine, Arcsine, Bernoulli, Beta, BetaBinomial, Binomial, Categorical, Cauchy,
-    Chisq, Dirichlet, DiscreteUniform, Distribution, Erlang, Exponential,
-    Factored, FDist, Frechet, Gamma, GeneralizedPareto, Geometric, Gumbel,
-    Hypergeometric, IID, InverseGamma, Kumaraswamy, Laplace, Levy,
-    Logistic, LogNormal, Mixture, MixtureModel,
+    Affine, Arcsine, Bernoulli, Beta, BetaBinomial, BetaPrime, Binomial,
+    Biweight,
+    Categorical, Cauchy, Chi,
+    Chisq, Cosine, Dirichlet, DiscreteUniform, Distribution, Epanechnikov,
+    Erlang, Exponential,
+    Factored, FDist, Frechet, Gamma, GeneralizedExtremeValue,
+    GeneralizedPareto, Geometric, Gumbel,
+    Hypergeometric, IID, InverseGamma, InverseGaussian, JohnsonSU,
+    Kumaraswamy, Laplace, Levy, Lindley,
+    Logistic, LogitNormal, LogNormal, LogUniform, Mixture, MixtureModel,
     MultivariateNormal, Multinomial, MvNormal,
-    NegativeBinomial, Normal, Pareto, Poisson, Product, Rayleigh,
-    Semicircle, Skellam, StudentT, TDist, TriangularDist, Truncated,
+    NegativeBinomial, NoncentralChisq, Normal, NormalCanon, Pareto,
+    PGeneralizedGaussian, Poisson, Product, Rayleigh, Rician,
+    Semicircle, Skellam, StudentT, SymTriangularDist, TDist, TriangularDist,
+    Triweight, Truncated,
     TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,
 )
 from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401

@@ -1984,12 +1984,656 @@ def _fact_unflatten(aux, _):
 jax.tree_util.register_pytree_node(Factored, _fact_flatten, _fact_unflatten)
 
 
+# --------------------------------------------------------------------------
+# Tier-4 continuous univariate (re-export breadth toward Distributions.jl,
+# reference ``src/KissABC.jl:13-14`` re-exports the whole package)
+# --------------------------------------------------------------------------
+
+@dist("a", "b")
+class LogUniform(Distribution):
+    """LogUniform(a, b), 0 < a < b (Distributions.jl ``LogUniform``):
+    log X ~ Uniform(log a, log b)."""
+
+    def _post_init(self):
+        a, b = float(self.a), float(self.b)
+        if not (0 < a < b):
+            raise ValueError("LogUniform needs 0 < a < b")
+        object.__setattr__(self, "_la", _f32(math.log(a)))
+        object.__setattr__(self, "_lr", _f32(math.log(b) - math.log(a)))
+        object.__setattr__(self, "_llr",
+                           _f32(math.log(math.log(b) - math.log(a))))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return jnp.exp(self._la + u * self._lr)
+
+    def logpdf(self, x):
+        inside = (x >= self.a) & (x <= self.b)
+        xs = jnp.where(inside, x, 1.0)
+        return jnp.where(inside, -jnp.log(xs) - self._llr, _NEG_INF)
+
+    def cdf(self, x):
+        xc = jnp.clip(x, self.a, self.b)
+        return (jnp.log(xc) - self._la) / self._lr
+
+    def quantile(self, q):
+        return jnp.exp(self._la + q * self._lr)
+
+
+@dist("mu", "sigma")
+class SymTriangularDist(Distribution):
+    """Symmetric triangular on [mu - sigma, mu + sigma]
+    (Distributions.jl ``SymTriangularDist(mu, sigma)``)."""
+
+    def _post_init(self):
+        if not float(self.sigma) > 0:
+            raise ValueError("SymTriangularDist needs sigma > 0")
+        object.__setattr__(self, "_ls", _f32(math.log(float(self.sigma))))
+
+    def sample(self, key, shape=()):
+        # difference of two uniforms is symmetric triangular on [-1, 1]
+        u = jax.random.uniform(key, shape + (2,))
+        return self.mu + self.sigma * (u[..., 0] - u[..., 1])
+
+    def logpdf(self, x):
+        z = jnp.abs(x - self.mu) / self.sigma
+        inside = z <= 1.0
+        zs = jnp.where(inside, jnp.minimum(z, np.float32(1 - 1e-7)), 0.0)
+        return jnp.where(inside, jnp.log1p(-zs) - self._ls, _NEG_INF)
+
+    def cdf(self, x):
+        z = jnp.clip((x - self.mu) / self.sigma, -1.0, 1.0)
+        lower = 0.5 * (1.0 + z) ** 2
+        upper = 1.0 - 0.5 * (1.0 - z) ** 2
+        return jnp.where(z < 0, lower, upper)
+
+    def quantile(self, q):
+        z = jnp.where(q < 0.5, jnp.sqrt(2.0 * q) - 1.0,
+                      1.0 - jnp.sqrt(2.0 * jnp.maximum(1.0 - q, 0.0)))
+        return self.mu + self.sigma * z
+
+
+@dist("mu", "sigma")
+class Cosine(Distribution):
+    """Raised-cosine on [mu - sigma, mu + sigma]
+    (Distributions.jl ``Cosine(mu, sigma)``):
+    pdf (1 + cos(pi z)) / (2 sigma)."""
+
+    def _post_init(self):
+        if not float(self.sigma) > 0:
+            raise ValueError("Cosine needs sigma > 0")
+        object.__setattr__(self, "_l2s",
+                           _f32(math.log(2.0 * float(self.sigma))))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.sigma
+        inside = jnp.abs(z) <= 1.0
+        zs = jnp.where(inside, z, 0.0)
+        p1 = jnp.maximum(1.0 + jnp.cos(np.float32(math.pi) * zs), 1e-37)
+        return jnp.where(inside, jnp.log(p1) - self._l2s, _NEG_INF)
+
+    def cdf(self, x):
+        z = jnp.clip((x - self.mu) / self.sigma, -1.0, 1.0)
+        return 0.5 * (1.0 + z + jnp.sin(np.float32(math.pi) * z)
+                      / np.float32(math.pi))
+
+    def quantile(self, q):
+        zlo = _f32(self.mu - self.sigma)
+        zhi = _f32(self.mu + self.sigma)
+        return _bisect_quantile(self.cdf, zlo, zhi, q)
+
+
+class _PolyKernel(Distribution):
+    """Shared base for the polynomial smoothing-kernel distributions
+    (Epanechnikov/Biweight/Triweight, Distributions.jl names) on
+    [mu - sigma, mu + sigma]: pdf c/sigma * (1 - z^2)^m."""
+
+    _m = 1       # exponent
+    _c = 0.75    # normalizer of (1-z^2)^m on [-1, 1]
+
+    def _post_init(self):
+        if not float(self.sigma) > 0:
+            raise ValueError(f"{type(self).__name__} needs sigma > 0")
+        object.__setattr__(
+            self, "_lc",
+            _f32(math.log(self._c) - math.log(float(self.sigma))))
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape)
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.sigma
+        inside = jnp.abs(z) <= 1.0
+        zs = jnp.where(inside, z, 0.0)
+        base = jnp.maximum(1.0 - zs * zs, 1e-37)
+        return jnp.where(inside,
+                         self._lc + np.float32(self._m) * jnp.log(base),
+                         _NEG_INF)
+
+    def _cdf_z(self, z):
+        raise NotImplementedError
+
+    def cdf(self, x):
+        z = jnp.clip((x - self.mu) / self.sigma, -1.0, 1.0)
+        return self._cdf_z(z)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, _f32(self.mu - self.sigma),
+                                _f32(self.mu + self.sigma), q)
+
+
+@dist("mu", "sigma")
+class Epanechnikov(_PolyKernel):
+    """Epanechnikov kernel: pdf 3/(4 sigma) (1 - z^2)."""
+
+    _m, _c = 1, 0.75
+
+    def _cdf_z(self, z):
+        return 0.5 + 0.25 * (3.0 * z - z ** 3)
+
+    def sample(self, key, shape=()):
+        # exact: the median of three iid U(-1,1) is Epanechnikov
+        u = jax.random.uniform(key, shape + (3,), jnp.float32, -1.0, 1.0)
+        return self.mu + self.sigma * jnp.median(u, axis=-1)
+
+
+@dist("mu", "sigma")
+class Biweight(_PolyKernel):
+    """Biweight (quartic) kernel: pdf 15/(16 sigma) (1 - z^2)^2."""
+
+    _m, _c = 2, 15.0 / 16.0
+
+    def _cdf_z(self, z):
+        return 0.5 + np.float32(15.0 / 16.0) * (
+            z - 2.0 * z ** 3 / 3.0 + z ** 5 / 5.0)
+
+
+@dist("mu", "sigma")
+class Triweight(_PolyKernel):
+    """Triweight kernel: pdf 35/(32 sigma) (1 - z^2)^3."""
+
+    _m, _c = 3, 35.0 / 32.0
+
+    def _cdf_z(self, z):
+        return 0.5 + np.float32(35.0 / 32.0) * (
+            z - z ** 3 + 3.0 * z ** 5 / 5.0 - z ** 7 / 7.0)
+
+
+@dist("xi", "lam", "gamma", "delta")
+class JohnsonSU(Distribution):
+    """Johnson S_U (Distributions.jl ``JohnsonSU(xi, lambda, gamma,
+    delta)``): X = xi + lambda * sinh((Z - gamma) / delta), Z ~ N(0,1)."""
+
+    def _post_init(self):
+        lam, dl = float(self.lam), float(self.delta)
+        if not (lam > 0 and dl > 0):
+            raise ValueError("JohnsonSU needs lambda > 0 and delta > 0")
+        object.__setattr__(
+            self, "_lc",
+            _f32(math.log(dl) - math.log(lam) - 0.5 * _LOG_2PI))
+
+    def sample(self, key, shape=()):
+        z = jax.random.normal(key, shape)
+        return self.xi + self.lam * jnp.sinh((z - self.gamma) / self.delta)
+
+    def _r(self, x):
+        z = (x - self.xi) / self.lam
+        return z, self.gamma + self.delta * jnp.arcsinh(z)
+
+    def logpdf(self, x):
+        z, r = self._r(x)
+        return self._lc - 0.5 * jnp.log1p(z * z) - 0.5 * r * r
+
+    def cdf(self, x):
+        return ndtr(self._r(x)[1])
+
+    def quantile(self, q):
+        return self.xi + self.lam * jnp.sinh(
+            (ndtri(q) - self.gamma) / self.delta)
+
+
+class GeneralizedExtremeValue(Distribution):
+    """GEV with location ``mu``, scale ``sigma``, shape ``xi``
+    (Distributions.jl ``GeneralizedExtremeValue(mu, sigma, xi)``). The
+    xi == 0 (Gumbel) case branches at trace time — xi is a host
+    constant."""
+
+    def __init__(self, mu, sigma, xi):
+        if not float(sigma) > 0:
+            raise ValueError("GeneralizedExtremeValue needs sigma > 0")
+        object.__setattr__(self, "mu", _f32(mu))
+        object.__setattr__(self, "sigma", _f32(sigma))
+        object.__setattr__(self, "xi", _f32(xi))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(self, "_lsg",
+                           _f32(math.log(float(self.sigma))))
+
+    def _inside(self, z):
+        xi = float(self.xi)
+        if xi == 0.0:
+            return jnp.full(jnp.shape(z), True)
+        if xi > 0:
+            return z > _f32(-1.0 / xi)
+        return z < _f32(-1.0 / xi)
+
+    def sample(self, key, shape=()):
+        u = jax.random.uniform(key, shape, jnp.float32,
+                               np.float32(1e-7), np.float32(1.0 - 1e-7))
+        return self.quantile(u)
+
+    def logpdf(self, x):
+        z = (x - self.mu) / self.sigma
+        inside = self._inside(z)
+        zs = jnp.where(inside, z, 0.0)
+        if float(self.xi) == 0.0:
+            lp = -zs - jnp.exp(-zs) - self._lsg
+        else:
+            # log t = -(1/xi) log1p(xi z); log pdf = (xi+1) log t - t - log s
+            lt = np.float32(-1.0 / float(self.xi)) * jnp.log1p(self.xi * zs)
+            lp = (self.xi + 1.0) * lt - jnp.exp(lt) - self._lsg
+        return jnp.where(inside, lp, _NEG_INF)
+
+    def cdf(self, x):
+        z = (x - self.mu) / self.sigma
+        if float(self.xi) == 0.0:
+            return jnp.exp(-jnp.exp(-z))
+        inside = self._inside(z)
+        zs = jnp.where(inside, z, 0.0)
+        t = jnp.exp(np.float32(-1.0 / float(self.xi))
+                    * jnp.log1p(self.xi * zs))
+        c = jnp.exp(-t)
+        lower_is_0 = float(self.xi) > 0
+        return jnp.where(inside, c, 0.0 if lower_is_0 else 1.0)
+
+    def quantile(self, q):
+        if float(self.xi) == 0.0:
+            return self.mu - self.sigma * jnp.log(-jnp.log(q))
+        return self.mu + self.sigma * jnp.expm1(
+            np.float32(-float(self.xi)) * jnp.log(-jnp.log(q))) / self.xi
+
+    def __repr__(self):
+        return (f"GeneralizedExtremeValue(mu={self.mu}, "
+                f"sigma={self.sigma}, xi={self.xi})")
+
+
+_register(GeneralizedExtremeValue, ("mu", "sigma", "xi"))
+
+
+def NormalCanon(eta, lam):
+    """Canonical-form normal (Distributions.jl ``NormalCanon(eta,
+    lambda)``): precision ``lam``, potential ``eta`` — equals
+    Normal(eta/lam, 1/sqrt(lam))."""
+    lam = float(lam)
+    if not lam > 0:
+        raise ValueError("NormalCanon needs lambda > 0")
+    return Normal(float(eta) / lam, lam ** -0.5)
+
+
+@dist("mu", "lam")
+class InverseGaussian(Distribution):
+    """Inverse Gaussian / Wald with mean ``mu`` and shape ``lam``
+    (Distributions.jl ``InverseGaussian(mu, lambda)``)."""
+
+    def _post_init(self):
+        mu, lam = float(self.mu), float(self.lam)
+        if not (mu > 0 and lam > 0):
+            raise ValueError("InverseGaussian needs mu > 0 and lambda > 0")
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_lc", _f32(0.5 * (math.log(lam) - _LOG_2PI)))
+        object.__setattr__(
+            self, "_qhi",
+            _f32(float(_st.invgauss(mu / lam, scale=lam).ppf(1 - 1e-9))))
+
+    def sample(self, key, shape=()):
+        # Michael–Schucany–Haas transform: exact, no rejection loop
+        kz, ku = jax.random.split(key)
+        nu = jax.random.normal(kz, shape) ** 2
+        mu, lam = self.mu, self.lam
+        x1 = (mu + mu * mu * nu / (2.0 * lam)
+              - mu / (2.0 * lam)
+              * jnp.sqrt(4.0 * mu * lam * nu + (mu * nu) ** 2))
+        x1 = jnp.maximum(x1, np.float32(1e-30))  # f32 cancellation guard
+        u = jax.random.uniform(ku, shape)
+        return jnp.where(u < mu / (mu + x1), x1, mu * mu / x1)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = (self._lc - 1.5 * jnp.log(xs)
+              - self.lam * (xs - self.mu) ** 2
+              / (2.0 * self.mu ** 2 * xs))
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import log_ndtr
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        r = jnp.sqrt(self.lam / xs)
+        a = ndtr(r * (xs / self.mu - 1.0))
+        # exp(2 lam/mu) overflows alone; fold it into the log-cdf term
+        b = jnp.exp(2.0 * self.lam / self.mu
+                    + log_ndtr(-r * (xs / self.mu + 1.0)))
+        return jnp.where(ok, a + b, 0.0)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
+@dist("nu")
+class Chi(Distribution):
+    """Chi distribution with ``nu`` degrees of freedom
+    (Distributions.jl ``Chi(nu)``): the square root of a Chisq(nu)."""
+
+    def _post_init(self):
+        nu = float(self.nu)
+        if not nu > 0:
+            raise ValueError("Chi needs nu > 0")
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_lc",
+            _f32(-(0.5 * nu - 1.0) * math.log(2.0) - sps.gammaln(0.5 * nu)))
+        object.__setattr__(self, "_qhi",
+                           _f32(float(_st.chi(nu).ppf(1 - 1e-9))))
+
+    def sample(self, key, shape=()):
+        return jnp.sqrt(2.0 * jax.random.gamma(
+            key, np.float32(0.5 * float(self.nu)), shape))
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = (self.nu - 1.0) * jnp.log(xs) - 0.5 * xs * xs + self._lc
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        xs = jnp.maximum(x, 0.0)
+        return gammainc(np.float32(0.5 * float(self.nu)), 0.5 * xs * xs)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
+@dist("alpha", "beta")
+class BetaPrime(Distribution):
+    """Beta prime (Distributions.jl ``BetaPrime(alpha, beta)``):
+    X = Y/(1-Y) with Y ~ Beta(alpha, beta)."""
+
+    def _post_init(self):
+        a, b = float(self.alpha), float(self.beta)
+        if not (a > 0 and b > 0):
+            raise ValueError("BetaPrime needs alpha > 0 and beta > 0")
+        from scipy import stats as _st
+        object.__setattr__(self, "_lbeta", _f32(sps.betaln(a, b)))
+        object.__setattr__(self, "_qhi",
+                           _f32(float(_st.betaprime(a, b).ppf(1 - 1e-7))))
+
+    def sample(self, key, shape=()):
+        y = jax.random.beta(key, self.alpha, self.beta, shape)
+        y = jnp.clip(y, 1e-7, 1.0 - 1e-7)
+        return y / (1.0 - y)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lp = ((self.alpha - 1.0) * jnp.log(xs)
+              - (self.alpha + self.beta) * jnp.log1p(xs) - self._lbeta)
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        xs = jnp.maximum(x, 0.0)
+        return betainc(self.alpha, self.beta, xs / (1.0 + xs))
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
+@dist("mu", "alpha", "p")
+class PGeneralizedGaussian(Distribution):
+    """p-generalized Gaussian / exponential power
+    (Distributions.jl ``PGeneralizedGaussian(mu, alpha, p)``):
+    pdf p/(2 alpha Gamma(1/p)) exp(-|z|^p)."""
+
+    def _post_init(self):
+        a, p = float(self.alpha), float(self.p)
+        if not (a > 0 and p > 0):
+            raise ValueError("PGeneralizedGaussian needs alpha > 0, p > 0")
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_lc",
+            _f32(math.log(p) - math.log(2.0 * a) - sps.gammaln(1.0 / p)))
+        object.__setattr__(self, "_inv_p", _f32(1.0 / p))
+        object.__setattr__(
+            self, "_zhi", _f32(float(_st.gennorm(p).ppf(1 - 1e-9))))
+
+    def sample(self, key, shape=()):
+        kg, ks = jax.random.split(key)
+        g = jax.random.gamma(kg, self._inv_p, shape)
+        s = jax.random.rademacher(ks, shape).astype(jnp.float32)
+        return self.mu + self.alpha * s * g ** self._inv_p
+
+    def logpdf(self, x):
+        z = jnp.abs((x - self.mu) / self.alpha)
+        return self._lc - z ** self.p
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        z = (x - self.mu) / self.alpha
+        half_tail = 0.5 * gammainc(self._inv_p, jnp.abs(z) ** self.p)
+        return 0.5 + jnp.sign(z) * half_tail
+
+    def quantile(self, q):
+        lo = _f32(self.mu - self.alpha * self._zhi)
+        hi = _f32(self.mu + self.alpha * self._zhi)
+        return _bisect_quantile(self.cdf, lo, hi, q)
+
+
+@dist("nu", "sigma")
+class Rician(Distribution):
+    """Rician (Distributions.jl ``Rician(nu, sigma)``): the norm of a
+    2-D normal with mean radius ``nu``. logpdf uses the exponentially
+    scaled Bessel i0e, so it is stable at large x*nu/sigma^2."""
+
+    def _post_init(self):
+        nu, sg = float(self.nu), float(self.sigma)
+        if not (nu >= 0 and sg > 0):
+            raise ValueError("Rician needs nu >= 0 and sigma > 0")
+        from scipy import stats as _st
+        object.__setattr__(self, "_l2sg", _f32(2.0 * math.log(sg)))
+        # cdf via X^2/sigma^2 ~ NoncentralChisq(2, nu^2/sigma^2): Poisson
+        # mixture series, host weights truncated at 1e-12 tail mass
+        half = nu * nu / (2.0 * sg * sg)
+        kmax = int(_st.poisson(half).ppf(1 - 1e-12)) + 3 if half > 0 else 1
+        ks = np.arange(kmax)
+        lw = (_st.poisson(half).logpmf(ks) if half > 0
+              else np.zeros(1))
+        object.__setattr__(self, "_w", np.exp(lw).astype(_f32))
+        object.__setattr__(self, "_shapes", (1.0 + ks).astype(_f32))
+        object.__setattr__(
+            self, "_qhi",
+            _f32(float(_st.rice(nu / sg, scale=sg).ppf(1 - 1e-9))
+                 if nu > 0 else
+                 float(_st.rayleigh(scale=sg).ppf(1 - 1e-9))))
+
+    def sample(self, key, shape=()):
+        z = jax.random.normal(key, shape + (2,))
+        sg = self.sigma
+        return jnp.sqrt((self.nu + sg * z[..., 0]) ** 2
+                        + (sg * z[..., 1]) ** 2)
+
+    def logpdf(self, x):
+        from jax.scipy.special import i0e
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        s2 = self.sigma ** 2
+        t = xs * self.nu / s2
+        # log I0(t) = log i0e(t) + t
+        lp = (jnp.log(xs) - self._l2sg
+              - (xs * xs + self.nu ** 2) / (2.0 * s2)
+              + jnp.log(i0e(t)) + t)
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        xs = jnp.maximum(x, 0.0)
+        z = (xs * xs / (2.0 * self.sigma ** 2))[..., None]
+        return jnp.sum(self._w * gammainc(self._shapes, z), axis=-1)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
+@dist("theta")
+class Lindley(Distribution):
+    """Lindley (Distributions.jl ``Lindley(theta)``): the mixture
+    theta/(1+theta) Exp(1/theta) + 1/(1+theta) Gamma(2, 1/theta);
+    pdf theta^2/(1+theta) (1+x) exp(-theta x)."""
+
+    def _post_init(self):
+        th = float(self.theta)
+        if not th > 0:
+            raise ValueError("Lindley needs theta > 0")
+        object.__setattr__(
+            self, "_lc", _f32(2.0 * math.log(th) - math.log1p(th)))
+        object.__setattr__(self, "_wexp", _f32(th / (1.0 + th)))
+        object.__setattr__(self, "_qhi", _f32(60.0 / th))
+
+    def sample(self, key, shape=()):
+        ku, ke = jax.random.split(key)
+        e = jax.random.exponential(ke, shape + (2,))
+        u = jax.random.uniform(ku, shape)
+        # Exp(1)/theta w.p. theta/(1+theta), else (Exp+Exp)/theta
+        extra = jnp.where(u < self._wexp, 0.0, e[..., 1])
+        return (e[..., 0] + extra) / self.theta
+
+    def logpdf(self, x):
+        ok = x >= 0
+        xs = jnp.where(ok, x, 0.0)
+        return jnp.where(ok, self._lc + jnp.log1p(xs) - self.theta * xs,
+                         _NEG_INF)
+
+    def cdf(self, x):
+        xs = jnp.maximum(x, 0.0)
+        th = self.theta
+        return 1.0 - (1.0 + th * xs / (1.0 + th)) * jnp.exp(-th * xs)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
+@dist("mu", "sigma")
+class LogitNormal(Distribution):
+    """Logit-normal on (0, 1) (Distributions.jl ``LogitNormal(mu,
+    sigma)``): logit(X) ~ Normal(mu, sigma)."""
+
+    def _post_init(self):
+        if not float(self.sigma) > 0:
+            raise ValueError("LogitNormal needs sigma > 0")
+        object.__setattr__(
+            self, "_lnorm",
+            _f32(math.log(float(self.sigma)) + 0.5 * _LOG_2PI))
+
+    def sample(self, key, shape=()):
+        y = self.mu + self.sigma * jax.random.normal(key, shape)
+        return jax.nn.sigmoid(y)
+
+    def logpdf(self, x):
+        inside = (x > 0) & (x < 1)
+        xs = jnp.where(inside, jnp.clip(x, 1e-7, 1.0 - 1e-7), 0.5)
+        lgt = jnp.log(xs) - jnp.log1p(-xs)
+        z = (lgt - self.mu) / self.sigma
+        lp = -0.5 * z * z - self._lnorm - jnp.log(xs) - jnp.log1p(-xs)
+        return jnp.where(inside, lp, _NEG_INF)
+
+    def cdf(self, x):
+        xc = jnp.clip(x, 1e-7, 1.0 - 1e-7)
+        lgt = jnp.log(xc) - jnp.log1p(-xc)
+        c = ndtr((lgt - self.mu) / self.sigma)
+        return jnp.where(x <= 0, 0.0, jnp.where(x >= 1, 1.0, c))
+
+    def quantile(self, q):
+        return jax.nn.sigmoid(self.mu + self.sigma * ndtri(q))
+
+
+@dist("nu", "lam")
+class NoncentralChisq(Distribution):
+    """Noncentral chi-squared (Distributions.jl ``NoncentralChisq(nu,
+    lambda)``). Sampling is exact via the Poisson-Gamma mixture
+    X = 2 Gamma(nu/2 + K), K ~ Poisson(lambda/2) (the Gamma shape is a
+    traced array — no rejection loop). logpdf/cdf evaluate the Poisson
+    mixture series with host-precomputed weights truncated at 1e-12
+    tail mass, avoiding the fractional-order Bessel JAX lacks."""
+
+    def _post_init(self):
+        nu, lam = float(self.nu), float(self.lam)
+        if not (nu > 0 and lam >= 0):
+            raise ValueError("NoncentralChisq needs nu > 0, lambda >= 0")
+        from scipy import stats as _st
+        half = lam / 2.0
+        kmax = int(_st.poisson(half).ppf(1 - 1e-12)) + 3 if half > 0 else 1
+        ks = np.arange(kmax)
+        lw = _st.poisson(half).logpmf(ks) if half > 0 else np.zeros(1)
+        shapes = nu / 2.0 + ks
+        # log w_k - a_k log 2 - lgamma(a_k): everything but the x terms
+        object.__setattr__(
+            self, "_ck",
+            (lw - shapes * math.log(2.0)
+             - sps.gammaln(shapes)).astype(_f32))
+        object.__setattr__(self, "_shapes", shapes.astype(_f32))
+        object.__setattr__(self, "_lw", lw.astype(_f32))
+        object.__setattr__(
+            self, "_qhi", _f32(float(_st.ncx2(nu, lam).ppf(1 - 1e-9))
+                               if lam > 0 else
+                               float(_st.chi2(nu).ppf(1 - 1e-9))))
+
+    def sample(self, key, shape=()):
+        kp, kg = jax.random.split(key)
+        half = np.float32(float(self.lam) / 2.0)
+        if float(self.lam) > 0:
+            k = jax.random.poisson(kp, half, shape).astype(jnp.float32)
+        else:
+            k = jnp.zeros(shape, jnp.float32)
+        a = np.float32(float(self.nu) / 2.0) + k
+        return 2.0 * jax.random.gamma(kg, a)
+
+    def logpdf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        lx = jnp.log(xs)[..., None]
+        terms = self._ck + (self._shapes - 1.0) * lx
+        lp = jax.nn.logsumexp(terms, axis=-1) - 0.5 * xs
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        xs = jnp.maximum(x, 0.0)[..., None]
+        g = gammainc(self._shapes, 0.5 * xs)
+        return jnp.sum(jnp.exp(self._lw) * g, axis=-1)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
+
+
 __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
     "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
     "Chisq", "FDist", "Logistic", "Rayleigh", "Pareto", "InverseGamma",
     "Gumbel", "TriangularDist", "Arcsine", "Semicircle", "Frechet",
     "Levy", "GeneralizedPareto", "Kumaraswamy", "VonMises", "Erlang",
+    "LogUniform", "SymTriangularDist", "Cosine", "Epanechnikov",
+    "Biweight", "Triweight", "JohnsonSU", "GeneralizedExtremeValue",
+    "NormalCanon", "InverseGaussian", "Chi", "BetaPrime",
+    "PGeneralizedGaussian", "Rician", "Lindley", "LogitNormal",
+    "NoncentralChisq",
     "Truncated", "TruncatedDiscrete", "TruncatedNormal",
     "Mixture", "MixtureModel", "Affine",
     "DiscreteUniform", "Bernoulli",

@@ -47,6 +47,24 @@ CONTINUOUS = [
     ka.Kumaraswamy(2.0, 3.0),
     ka.TruncatedNormal(0.0, 1.0, -1.0, 2.0),
     ka.Erlang(3, 0.5),
+    ka.LogUniform(0.5, 8.0),
+    ka.SymTriangularDist(1.0, 2.0),
+    ka.Cosine(0.5, 2.0),
+    ka.Epanechnikov(0.0, 1.0),
+    ka.Biweight(0.0, 1.0),
+    ka.Triweight(0.0, 1.0),
+    ka.JohnsonSU(-1.0, 2.0, 0.5, 1.5),
+    ka.GeneralizedExtremeValue(0.5, 2.0, 0.3),
+    ka.GeneralizedExtremeValue(0.5, 2.0, 0.0),
+    ka.GeneralizedExtremeValue(0.5, 2.0, -0.25),
+    ka.InverseGaussian(2.0, 5.0),
+    ka.Chi(3.0),
+    ka.BetaPrime(3.0, 5.0),
+    ka.PGeneralizedGaussian(0.5, 2.0, 1.5),
+    ka.Rician(2.0, 0.8),
+    ka.Lindley(1.5),
+    ka.LogitNormal(0.5, 1.2),
+    ka.NoncentralChisq(3.0, 4.0),
 ]
 
 DISCRETE = [

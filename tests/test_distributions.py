@@ -789,3 +789,245 @@ def test_affine_location_scale():
     pri = ka.Factored(10.0 + 0.5 * ka.Gamma(2.0, 1.0), ka.Uniform(0, 1))
     s = pri.sample_tree(jax.random.key(0))
     assert np.isfinite(float(pri.logpdf(s)))
+
+
+# --------------------------------------------------------------------------
+# Tier-4 closed-form batch
+# --------------------------------------------------------------------------
+
+def test_log_uniform():
+    d = ka.LogUniform(0.5, 8.0)
+    ref = st.loguniform(0.5, 8.0)
+    x = draws(d)
+    assert x.min() >= 0.5 and x.max() <= 8.0
+    assert abs(x.mean() - ref.mean()) < 0.05
+    xs = np.array([0.7, 2.0, 6.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), rtol=1e-4)
+    assert abs(float(d.quantile(0.3)) - ref.ppf(0.3)) < 1e-3
+    assert float(d.logpdf(0.4)) == -np.inf
+
+
+def test_sym_triangular():
+    d = ka.SymTriangularDist(1.0, 2.0)
+    ref = st.triang(0.5, loc=-1.0, scale=4.0)
+    x = draws(d)
+    assert abs(x.mean() - 1.0) < 0.03
+    assert x.min() >= -1.0 and x.max() <= 3.0
+    xs = np.array([-0.5, 1.0, 2.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), rtol=1e-4)
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               atol=1e-4)
+    assert float(d.logpdf(3.5)) == -np.inf
+
+
+def test_cosine():
+    d = ka.Cosine(0.5, 2.0)
+    # scipy's raised cosine has support [loc-pi*scale, loc+pi*scale]
+    ref = st.cosine(loc=0.5, scale=2.0 / np.pi)
+    x = draws(d)
+    assert abs(x.mean() - 0.5) < 0.03
+    xs = np.array([-1.0, 0.5, 1.8])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-5)
+    assert abs(float(d.quantile(0.75)) - ref.ppf(0.75)) < 1e-3
+
+
+@pytest.mark.parametrize("cls,c", [(ka.Epanechnikov, 4), (ka.Biweight, 6),
+                                   (ka.Triweight, 8)])
+def test_poly_kernels(cls, c):
+    d = cls(1.0, 3.0)
+    # scipy rdist(c): pdf ∝ (1-x^2)^(c/2-1) on [-1,1]
+    ref = st.rdist(c, loc=1.0, scale=3.0)
+    x = draws(d)
+    assert abs(x.mean() - 1.0) < 0.05
+    assert x.min() >= -2.0 and x.max() <= 4.0
+    xs = np.array([-1.0, 1.0, 3.2])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-5)
+    qs = np.array([0.2, 0.5, 0.8])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               atol=2e-3)
+    assert float(d.logpdf(4.5)) == -np.inf
+
+
+def test_johnson_su():
+    d = ka.JohnsonSU(-1.0, 2.0, 0.5, 1.5)   # xi, lambda, gamma, delta
+    ref = st.johnsonsu(0.5, 1.5, loc=-1.0, scale=2.0)
+    x = draws(d)
+    assert abs(x.mean() - ref.mean()) < 0.05
+    xs = np.array([-3.0, -1.0, 1.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs), rtol=1e-3)
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("xi", [0.3, 0.0, -0.25])
+def test_generalized_extreme_value(xi):
+    d = ka.GeneralizedExtremeValue(0.5, 2.0, xi)
+    ref = st.genextreme(-xi, loc=0.5, scale=2.0)
+    x = draws(d)
+    assert abs(np.median(x) - ref.median()) < 0.06
+    xs = np.array([-1.0, 0.5, 4.0], np.float32)
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=2e-3, atol=1e-5)
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               rtol=1e-3, atol=2e-3)
+    if xi > 0:
+        assert float(d.logpdf(0.5 - 2.0 / xi - 0.5)) == -np.inf
+    elif xi < 0:
+        assert float(d.logpdf(0.5 + 2.0 / (-xi) + 0.5)) == -np.inf
+
+
+def test_normal_canon():
+    d = ka.NormalCanon(3.0, 4.0)   # eta, lambda -> Normal(0.75, 0.5)
+    assert isinstance(d, ka.Normal)
+    ref = st.norm(0.75, 0.5)
+    xs = np.array([0.0, 0.75, 1.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Tier-4 special-function batch
+# --------------------------------------------------------------------------
+
+def test_inverse_gaussian():
+    d = ka.InverseGaussian(2.0, 5.0)     # mu, lambda
+    ref = st.invgauss(2.0 / 5.0, scale=5.0)
+    x = draws(d)
+    assert x.min() > 0
+    assert abs(x.mean() - 2.0) < 0.05
+    xs = np.array([0.5, 2.0, 6.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-6)
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               rtol=2e-3)
+    assert float(d.logpdf(-0.5)) == -np.inf
+
+
+def test_chi():
+    d = ka.Chi(3.0)   # Maxwell-Boltzmann
+    ref = st.chi(3.0)
+    x = draws(d)
+    assert abs(x.mean() - ref.mean()) < 0.02
+    xs = np.array([0.5, 1.5, 3.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-6)
+    assert abs(float(d.quantile(0.7)) - ref.ppf(0.7)) < 2e-3
+
+
+def test_beta_prime():
+    d = ka.BetaPrime(3.0, 5.0)
+    ref = st.betaprime(3.0, 5.0)
+    x = draws(d)
+    assert x.min() > 0
+    assert abs(x.mean() - ref.mean()) < 0.03
+    xs = np.array([0.2, 0.75, 2.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-6)
+    assert abs(float(d.quantile(0.4)) - ref.ppf(0.4)) < 2e-3
+
+
+@pytest.mark.parametrize("p", [0.7, 1.5, 4.0])
+def test_pgeneralized_gaussian(p):
+    d = ka.PGeneralizedGaussian(0.5, 2.0, p)
+    ref = st.gennorm(p, loc=0.5, scale=2.0)
+    x = draws(d)
+    assert abs(x.mean() - 0.5) < 0.15
+    xs = np.array([-2.0, 0.5, 3.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=1e-3, atol=1e-5)
+    qs = np.array([0.15, 0.5, 0.85])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               atol=3e-3)
+
+
+def test_rician():
+    d = ka.Rician(2.0, 0.8)
+    ref = st.rice(2.0 / 0.8, scale=0.8)
+    x = draws(d)
+    assert x.min() > 0
+    assert abs(x.mean() - ref.mean()) < 0.02
+    xs = np.array([1.0, 2.2, 3.5])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=2e-3, atol=1e-5)
+    assert abs(float(d.quantile(0.6)) - ref.ppf(0.6)) < 3e-3
+
+
+def test_lindley():
+    th = 1.5
+    d = ka.Lindley(th)
+    x = draws(d)
+    # closed-form mean (theta+2)/(theta(theta+1))
+    assert abs(x.mean() - (th + 2) / (th * (th + 1))) < 0.02
+    xs = np.array([0.3, 1.0, 3.0])
+    ref_pdf = th**2 / (1 + th) * (1 + xs) * np.exp(-th * xs)
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), np.log(ref_pdf),
+                               rtol=1e-4)
+    ref_cdf = 1 - (1 + th * xs / (1 + th)) * np.exp(-th * xs)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref_cdf, rtol=1e-4)
+    # sampler matches the analytic cdf
+    ks = st.kstest(x[:4000], lambda v: np.asarray(d.cdf(jnp.asarray(
+        np.asarray(v, np.float32)))).astype(np.float64))
+    assert ks.pvalue > 1e-4
+    assert float(d.logpdf(-0.1)) == -np.inf
+
+
+def test_logit_normal():
+    d = ka.LogitNormal(0.5, 1.2)
+    x = draws(d)
+    assert x.min() > 0 and x.max() < 1
+    xs = np.array([0.2, 0.5, 0.9])
+    # change of variables through scipy norm
+    lgt = np.log(xs / (1 - xs))
+    ref_lp = st.norm(0.5, 1.2).logpdf(lgt) - np.log(xs) - np.log1p(-xs)
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref_lp, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)),
+                               st.norm(0.5, 1.2).cdf(lgt), rtol=1e-3)
+    q = float(d.quantile(0.75))
+    assert abs(st.norm(0.5, 1.2).cdf(np.log(q / (1 - q))) - 0.75) < 1e-3
+    assert float(d.logpdf(1.2)) == -np.inf
+
+
+@pytest.mark.parametrize("nu,lam", [(3.0, 4.0), (1.0, 0.5), (2.0, 0.0)])
+def test_noncentral_chisq(nu, lam):
+    d = ka.NoncentralChisq(nu, lam)
+    ref = st.ncx2(nu, lam) if lam > 0 else st.chi2(nu)
+    x = draws(d)
+    assert abs(x.mean() - (nu + lam)) < 0.15
+    xs = np.array([1.0, 4.0, 10.0])
+    np.testing.assert_allclose(np.asarray(d.logpdf(xs)), ref.logpdf(xs),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(d.cdf(xs)), ref.cdf(xs),
+                               rtol=2e-3, atol=1e-6)
+    qs = np.array([0.25, 0.5, 0.75])
+    np.testing.assert_allclose(np.asarray(d.quantile(qs)), ref.ppf(qs),
+                               rtol=3e-3)
+    ks = st.kstest(x[:4000], ref.cdf)
+    assert ks.pvalue > 1e-4
