@@ -28,16 +28,19 @@ from .distributions import (  # noqa: F401
     Affine, Arcsine, Bernoulli, Beta, BetaBinomial, BetaPrime, Binomial,
     Biweight,
     Categorical, Cauchy, Chi,
-    Chisq, Cosine, Dirichlet, DiscreteUniform, Distribution, Epanechnikov,
+    Chisq, Cosine, Dirac, Dirichlet, DiscreteNonParametric, DiscreteUniform,
+    Distribution, Epanechnikov,
     Erlang, Exponential,
     Factored, FDist, Frechet, Gamma, GeneralizedExtremeValue,
     GeneralizedPareto, Geometric, Gumbel,
-    Hypergeometric, IID, InverseGamma, InverseGaussian, JohnsonSU,
+    Hypergeometric, IID, InverseGamma, InverseGaussian, InverseWishart,
+    JohnsonSU,
     Kumaraswamy, Laplace, Levy, Lindley,
     Logistic, LogitNormal, LogNormal, LogUniform, Mixture, MixtureModel,
-    MultivariateNormal, Multinomial, MvNormal,
+    MultivariateNormal, Multinomial, MvLogNormal, MvNormal, MvTDist,
     NegativeBinomial, NoncentralChisq, Normal, NormalCanon, Pareto,
-    PGeneralizedGaussian, Poisson, Product, Rayleigh, Rician,
+    PGeneralizedGaussian, Poisson, PoissonBinomial, Product, Rayleigh, Rician,
+    Wishart,
     Semicircle, Skellam, StudentT, SymTriangularDist, TDist, TriangularDist,
     Triweight, Truncated,
     TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,

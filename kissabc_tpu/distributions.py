@@ -1700,6 +1700,8 @@ class MvNormal(Distribution):
     def _post_init(self):
         chol = np.linalg.cholesky(np.asarray(self.cov, np.float64))
         object.__setattr__(self, "chol", chol.astype(_f32))
+        object.__setattr__(self, "_cholinv",
+                           np.linalg.inv(chol).astype(_f32))
         object.__setattr__(
             self, "_logdet", _f32(2.0 * np.sum(np.log(np.diag(chol)))))
 
@@ -1715,8 +1717,9 @@ class MvNormal(Distribution):
     def logpdf(self, x):
         d = self.mean.shape[0]
         diff = x - self.mean
-        sol = jax.scipy.linalg.solve_triangular(
-            self.chol, diff[..., None], lower=True)[..., 0]
+        # host-precomputed chol^-1 as a matmul: batch-shape agnostic
+        # (solve_triangular refuses mixed batch ranks)
+        sol = jnp.einsum("ij,...j->...i", self._cholinv, diff)
         maha = jnp.sum(sol * sol, axis=-1)
         return -0.5 * (maha + self._logdet + d * _LOG_2PI)
 
@@ -2623,6 +2626,513 @@ class NoncentralChisq(Distribution):
         return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
 
 
+# --------------------------------------------------------------------------
+# Tier-4 discrete
+# --------------------------------------------------------------------------
+
+class Dirac(Distribution):
+    """Point mass at ``value`` (Distributions.jl ``Dirac``). Discrete in
+    the measure-theoretic sense; ``push`` snaps any float-evolved
+    proposal back onto the atom (round-to-int would be wrong for float
+    atoms), keeping int32 dtype only for integer atoms."""
+
+    discrete = True
+
+    def __init__(self, value):
+        object.__setattr__(self, "value", float(value))
+        self._post_init()
+
+    def _post_init(self):
+        is_int = float(self.value).is_integer()
+        object.__setattr__(self, "_isint", is_int)
+        object.__setattr__(
+            self, "_atom",
+            np.int32(self.value) if is_int else _f32(self.value))
+
+    def sample(self, key, shape=()):
+        dtype = jnp.int32 if self._isint else jnp.float32
+        return jnp.full(shape, self._atom, dtype)
+
+    def push(self, x):
+        dtype = jnp.int32 if self._isint else jnp.float32
+        return jnp.full(jnp.shape(x), self._atom, dtype)
+
+    def logpdf(self, x):
+        hit = jnp.asarray(x, jnp.float32) == _f32(self.value)
+        return jnp.where(hit, np.float32(0.0), _NEG_INF)
+
+    def cdf(self, x):
+        return jnp.where(jnp.asarray(x, jnp.float32) >= _f32(self.value),
+                         np.float32(1.0), np.float32(0.0))
+
+    def quantile(self, q):
+        return jnp.full(jnp.shape(q), _f32(self.value))
+
+    def __repr__(self):
+        return f"Dirac({self.value})"
+
+
+def _dirac_flatten(d):
+    return (), (d.value,)
+
+
+def _dirac_unflatten(aux, _):
+    obj = object.__new__(Dirac)
+    object.__setattr__(obj, "value", aux[0])
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Dirac, _dirac_flatten, _dirac_unflatten)
+
+
+class DiscreteNonParametric(Distribution):
+    """Arbitrary finite-support discrete distribution
+    (Distributions.jl ``DiscreteNonParametric(xs, ps)``): atom ``xs[i]``
+    with probability ``ps[i]``. Atoms may be non-integer; ``push`` snaps
+    a float-evolved value to the NEAREST atom (the tree-algebra
+    generalization of round-to-int, which is exactly nearest-atom for
+    integer supports)."""
+
+    discrete = True
+
+    def __init__(self, xs, ps):
+        xs = np.asarray(xs, _f32)
+        ps = np.asarray(ps, np.float64)
+        if xs.ndim != 1 or xs.shape != ps.shape:
+            raise ValueError("DiscreteNonParametric needs 1-D xs, ps of "
+                             "equal length")
+        if np.any(ps < 0) or not np.isclose(ps.sum(), 1.0, atol=1e-6):
+            raise ValueError("DiscreteNonParametric weights must be "
+                             "nonnegative and sum to 1")
+        order = np.argsort(xs)
+        object.__setattr__(self, "xs", xs[order])
+        object.__setattr__(self, "ps", ps[order].astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        object.__setattr__(
+            self, "_logp",
+            np.log(np.clip(np.asarray(self.ps, np.float64),
+                           np.finfo(np.float64).tiny, None)).astype(_f32))
+        object.__setattr__(
+            self, "_cum",
+            np.cumsum(np.asarray(self.ps, np.float64)).astype(_f32))
+        object.__setattr__(
+            self, "_isint",
+            bool(np.all(np.asarray(self.xs, np.float64)
+                        == np.round(np.asarray(self.xs, np.float64)))))
+        # midpoints between consecutive atoms drive nearest-atom push
+        xs = np.asarray(self.xs, np.float64)
+        object.__setattr__(
+            self, "_mids", (0.5 * (xs[1:] + xs[:-1])).astype(_f32))
+
+    def _out_dtype(self):
+        return jnp.int32 if self._isint else jnp.float32
+
+    def sample(self, key, shape=()):
+        idx = jax.random.categorical(key, self._logp, shape=shape)
+        return jnp.take(self.xs, idx).astype(self._out_dtype())
+
+    def push(self, x):
+        idx = jnp.searchsorted(self._mids, jnp.asarray(x, jnp.float32))
+        return jnp.take(self.xs, idx).astype(self._out_dtype())
+
+    def logpdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        idx = jnp.clip(jnp.searchsorted(self.xs, xf), 0, len(self.xs) - 1)
+        hit = jnp.take(self.xs, idx) == xf
+        return jnp.where(hit & (jnp.take(self.ps, idx) > 0),
+                         jnp.take(self._logp, idx), _NEG_INF)
+
+    def cdf(self, x):
+        xf = jnp.asarray(x, jnp.float32)
+        idx = jnp.searchsorted(self.xs, xf, side="right")
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                               jnp.asarray(self._cum)])
+        return jnp.take(cum, idx)
+
+    def quantile(self, q):
+        idx = jnp.clip(jnp.searchsorted(self._cum,
+                                        jnp.asarray(q, jnp.float32)),
+                       0, len(self.xs) - 1)
+        return jnp.take(self.xs, idx).astype(self._out_dtype())
+
+    def __repr__(self):
+        return f"DiscreteNonParametric(xs={self.xs}, ps={self.ps})"
+
+
+def _dnp_flatten(d):
+    return (), (d.xs.tobytes(), d.ps.tobytes(), d.xs.shape)
+
+
+def _dnp_unflatten(aux, _):
+    obj = object.__new__(DiscreteNonParametric)
+    object.__setattr__(obj, "xs",
+                       np.frombuffer(aux[0], dtype=_f32).reshape(aux[2]))
+    object.__setattr__(obj, "ps",
+                       np.frombuffer(aux[1], dtype=_f32).reshape(aux[2]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(DiscreteNonParametric, _dnp_flatten,
+                                   _dnp_unflatten)
+
+
+class PoissonBinomial(Distribution):
+    """Sum of independent non-identical Bernoullis
+    (Distributions.jl ``PoissonBinomial(ps)``). The pmf table is an
+    exact host dynamic-programming convolution (float64, length n+1);
+    sampling draws the n Bernoullis in one batched uniform."""
+
+    discrete = True
+
+    def __init__(self, ps):
+        ps = np.asarray(ps, np.float64)
+        if ps.ndim != 1 or np.any(ps < 0) or np.any(ps > 1):
+            raise ValueError("PoissonBinomial needs a 1-D vector of "
+                             "probabilities in [0, 1]")
+        object.__setattr__(self, "ps", ps.astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        ps = np.asarray(self.ps, np.float64)
+        pmf = np.ones(1)
+        for p in ps:
+            nxt = np.zeros(pmf.shape[0] + 1)
+            nxt[:-1] += pmf * (1 - p)
+            nxt[1:] += pmf * p
+            pmf = nxt
+        object.__setattr__(
+            self, "_lpmf",
+            np.log(np.clip(pmf, 1e-300, None)).astype(_f32))
+        object.__setattr__(self, "_cum", np.cumsum(pmf).astype(_f32))
+
+    def sample(self, key, shape=()):
+        n = self.ps.shape[0]
+        u = jax.random.uniform(key, shape + (n,))
+        return jnp.sum(u < self.ps, axis=-1).astype(jnp.int32)
+
+    def logpdf(self, x):
+        n = self.ps.shape[0]
+        xi = jnp.clip(jnp.asarray(x, jnp.int32), 0, n)
+        xf = jnp.asarray(x, jnp.float32)
+        inside = (xf >= 0) & (xf <= n) & (xf == jnp.round(xf))
+        return jnp.where(inside, jnp.take(self._lpmf, xi), _NEG_INF)
+
+    def cdf(self, x):
+        n = self.ps.shape[0]
+        xi = jnp.clip(jnp.floor(jnp.asarray(x, jnp.float32)), -1,
+                      n).astype(jnp.int32)
+        cum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                               jnp.asarray(self._cum)])
+        return jnp.take(cum, xi + 1)
+
+    def __repr__(self):
+        return f"PoissonBinomial(n={self.ps.shape[0]})"
+
+
+def _pb_flatten(d):
+    return (), (d.ps.tobytes(), d.ps.shape)
+
+
+def _pb_unflatten(aux, _):
+    obj = object.__new__(PoissonBinomial)
+    object.__setattr__(obj, "ps",
+                       np.frombuffer(aux[0], dtype=_f32).reshape(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(PoissonBinomial, _pb_flatten,
+                                   _pb_unflatten)
+
+
+# --------------------------------------------------------------------------
+# Tier-4 multivariate / matrix-variate
+# --------------------------------------------------------------------------
+
+class MvLogNormal(Distribution):
+    """Multivariate log-normal (Distributions.jl ``MvLogNormal``):
+    log X ~ MvNormal(mean, cov). Same constructor forms as MvNormal."""
+
+    event_dim = 1
+
+    def __init__(self, mean_or_dim, sigma_or_cov=1.0):
+        object.__setattr__(self, "normal",
+                           MvNormal(mean_or_dim, sigma_or_cov))
+
+    @property
+    def nparams(self):
+        return self.normal.nparams
+
+    def sample(self, key, shape=()):
+        return jnp.exp(self.normal.sample(key, shape))
+
+    def logpdf(self, x):
+        ok = jnp.all(x > 0, axis=-1)
+        xs = jnp.where(x > 0, x, 1.0)
+        lx = jnp.log(xs)
+        lp = self.normal.logpdf(lx) - jnp.sum(lx, axis=-1)
+        return jnp.where(ok, lp, _NEG_INF)
+
+    def __repr__(self):
+        return f"MvLogNormal(d={self.normal.mean.shape[0]})"
+
+
+def _mvln_flatten(d):
+    return (), (d.normal,)
+
+
+def _mvln_unflatten(aux, _):
+    obj = object.__new__(MvLogNormal)
+    object.__setattr__(obj, "normal", aux[0])
+    return obj
+
+
+jax.tree_util.register_pytree_node(MvLogNormal, _mvln_flatten,
+                                   _mvln_unflatten)
+
+
+class MvTDist(Distribution):
+    """Multivariate Student t (Distributions.jl ``MvTDist(df, mu,
+    Sigma)``) with scale matrix ``Sigma`` (not the covariance, which is
+    df/(df-2) Sigma)."""
+
+    event_dim = 1
+
+    def __init__(self, df, mean, cov):
+        df = float(df)
+        if not df > 0:
+            raise ValueError("MvTDist needs df > 0")
+        mean = np.asarray(mean, _f32)
+        cov = np.asarray(cov, np.float64)
+        if cov.ndim == 0:
+            cov = cov ** 2 * np.eye(mean.shape[0])
+        object.__setattr__(self, "df", _f32(df))
+        object.__setattr__(self, "mean", mean)
+        object.__setattr__(self, "cov", cov.astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        df = float(self.df)
+        d = self.mean.shape[0]
+        chol = np.linalg.cholesky(np.asarray(self.cov, np.float64))
+        object.__setattr__(self, "chol", chol.astype(_f32))
+        object.__setattr__(self, "_cholinv",
+                           np.linalg.inv(chol).astype(_f32))
+        logdet = 2.0 * np.sum(np.log(np.diag(chol)))
+        object.__setattr__(
+            self, "_lc",
+            _f32(sps.gammaln((df + d) / 2.0) - sps.gammaln(df / 2.0)
+                 - 0.5 * d * math.log(df * math.pi) - 0.5 * logdet))
+
+    @property
+    def nparams(self):
+        return self.mean.shape[0]
+
+    def sample(self, key, shape=()):
+        kz, kg = jax.random.split(key)
+        d = self.mean.shape[0]
+        z = jax.random.normal(kz, shape + (d,)) @ self.chol.T
+        half = np.float32(0.5 * float(self.df))
+        chisq = 2.0 * jax.random.gamma(kg, half, shape + (1,))
+        return self.mean + z * jnp.sqrt(self.df / chisq)
+
+    def logpdf(self, x):
+        diff = x - self.mean
+        sol = jnp.einsum("ij,...j->...i", self._cholinv, diff)
+        maha = jnp.sum(sol * sol, axis=-1)
+        d = self.mean.shape[0]
+        return self._lc - 0.5 * (self.df + d) * jnp.log1p(maha / self.df)
+
+    def __repr__(self):
+        return f"MvTDist(df={self.df}, d={self.mean.shape[0]})"
+
+
+def _mvt_flatten(d):
+    return (), (float(d.df), d.mean.tobytes(), d.mean.shape, d.cov.tobytes())
+
+
+def _mvt_unflatten(aux, _):
+    obj = object.__new__(MvTDist)
+    mean = np.frombuffer(aux[1], dtype=_f32).reshape(aux[2])
+    n = mean.shape[0]
+    object.__setattr__(obj, "df", _f32(aux[0]))
+    object.__setattr__(obj, "mean", mean)
+    object.__setattr__(obj, "cov",
+                       np.frombuffer(aux[3], dtype=_f32).reshape((n, n)))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(MvTDist, _mvt_flatten, _mvt_unflatten)
+
+
+def _tri_logdet(m):
+    """log |det| from a (batched) Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(m, axis1=-2, axis2=-1)),
+                         axis=-1)
+
+
+class Wishart(Distribution):
+    """Wishart(df, S) over d x d SPD matrices (Distributions.jl
+    ``Wishart``). Sampling is the Bartlett decomposition (one batched
+    normal + one batched gamma — no loops); logpdf uses the identity
+    tr(S^-1 X) = ||L^-1 chol(X)||_F^2 with L = chol(S) host-precomputed."""
+
+    event_dim = 2
+
+    def __init__(self, df, S):
+        S = np.asarray(S, np.float64)
+        if S.ndim != 2 or S.shape[0] != S.shape[1]:
+            raise ValueError("Wishart needs a square scale matrix")
+        d = S.shape[0]
+        df = float(df)
+        if not df > d - 1:
+            raise ValueError("Wishart needs df > d - 1")
+        object.__setattr__(self, "df", _f32(df))
+        object.__setattr__(self, "S", S.astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        df = float(self.df)
+        S = np.asarray(self.S, np.float64)
+        d = S.shape[0]
+        L = np.linalg.cholesky(S)
+        object.__setattr__(self, "_L", L.astype(_f32))
+        object.__setattr__(self, "_Linv", np.linalg.inv(L).astype(_f32))
+        logdetS = 2.0 * np.sum(np.log(np.diag(L)))
+        object.__setattr__(
+            self, "_lnorm",
+            _f32(0.5 * df * d * math.log(2.0) + 0.5 * df * logdetS
+                 + float(sps.multigammaln(0.5 * df, d))))
+        # Bartlett diagonal gamma shapes (df - i)/2, i = 0..d-1
+        object.__setattr__(
+            self, "_bshapes",
+            ((df - np.arange(d)) / 2.0).astype(_f32))
+
+    @property
+    def nparams(self):
+        return self.S.shape[0] * self.S.shape[1]
+
+    def sample(self, key, shape=()):
+        d = self.S.shape[0]
+        kz, kg = jax.random.split(key)
+        z = jax.random.normal(kz, shape + (d, d))
+        c = jax.random.gamma(
+            kg, jnp.broadcast_to(self._bshapes, shape + (d,)))
+        a = jnp.tril(z, -1) + jnp.eye(d) * jnp.sqrt(2.0 * c)[..., None, :]
+        la = jnp.einsum("ij,...jk->...ik", self._L, a)
+        return la @ jnp.swapaxes(la, -1, -2)
+
+    def logpdf(self, x):
+        d = self.S.shape[0]
+        cl = jnp.linalg.cholesky(x)
+        ldx = _tri_logdet(cl)
+        m = jnp.einsum("ij,...jk->...ik", self._Linv, cl)
+        tr = jnp.sum(m * m, axis=(-2, -1))
+        return (0.5 * (self.df - d - 1.0) * ldx - 0.5 * tr - self._lnorm)
+
+    def __repr__(self):
+        return f"Wishart(df={self.df}, d={self.S.shape[0]})"
+
+
+def _wis_flatten(d):
+    return (), (float(d.df), d.S.tobytes(), d.S.shape)
+
+
+def _wis_unflatten(aux, _):
+    obj = object.__new__(Wishart)
+    object.__setattr__(obj, "df", _f32(aux[0]))
+    object.__setattr__(obj, "S",
+                       np.frombuffer(aux[1], dtype=_f32).reshape(aux[2]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(Wishart, _wis_flatten, _wis_unflatten)
+
+
+class InverseWishart(Distribution):
+    """InverseWishart(df, Psi) over d x d SPD matrices (Distributions.jl
+    ``InverseWishart``): X^-1 ~ Wishart(df, Psi^-1)."""
+
+    event_dim = 2
+
+    def __init__(self, df, Psi):
+        Psi = np.asarray(Psi, np.float64)
+        if Psi.ndim != 2 or Psi.shape[0] != Psi.shape[1]:
+            raise ValueError("InverseWishart needs a square scale matrix")
+        d = Psi.shape[0]
+        df = float(df)
+        if not df > d - 1:
+            raise ValueError("InverseWishart needs df > d - 1")
+        object.__setattr__(self, "df", _f32(df))
+        object.__setattr__(self, "Psi", Psi.astype(_f32))
+        self._post_init()
+
+    def _post_init(self):
+        df = float(self.df)
+        Psi = np.asarray(self.Psi, np.float64)
+        d = Psi.shape[0]
+        object.__setattr__(self, "_wis",
+                           Wishart(df, np.linalg.inv(Psi)))
+        LP = np.linalg.cholesky(Psi)
+        object.__setattr__(self, "_LP", LP.astype(_f32))
+        logdetP = 2.0 * np.sum(np.log(np.diag(LP)))
+        object.__setattr__(
+            self, "_lnorm",
+            _f32(0.5 * df * d * math.log(2.0) - 0.5 * df * logdetP
+                 + float(sps.multigammaln(0.5 * df, d))))
+
+    @property
+    def nparams(self):
+        return self.Psi.shape[0] * self.Psi.shape[1]
+
+    def sample(self, key, shape=()):
+        w = self._wis.sample(key, shape)
+        cw = jnp.linalg.cholesky(w)
+        d = self.Psi.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=jnp.float32),
+                               w.shape)
+        inv_cw = jax.scipy.linalg.solve_triangular(cw, eye, lower=True)
+        return jnp.swapaxes(inv_cw, -1, -2) @ inv_cw
+
+    def logpdf(self, x):
+        d = self.Psi.shape[0]
+        cl = jnp.linalg.cholesky(x)
+        ldx = _tri_logdet(cl)
+        # tr(Psi X^-1) = ||cl^-1 L_Psi||_F^2 with cl = chol(X); broadcast
+        # the host factor to cl's batch shape (solve_triangular refuses
+        # mixed batch ranks)
+        m = jax.scipy.linalg.solve_triangular(
+            cl, jnp.broadcast_to(self._LP, cl.shape), lower=True)
+        tr = jnp.sum(m * m, axis=(-2, -1))
+        return (-0.5 * (self.df + d + 1.0) * ldx - 0.5 * tr - self._lnorm)
+
+    def __repr__(self):
+        return f"InverseWishart(df={self.df}, d={self.Psi.shape[0]})"
+
+
+def _iw_flatten(d):
+    return (), (float(d.df), d.Psi.tobytes(), d.Psi.shape)
+
+
+def _iw_unflatten(aux, _):
+    obj = object.__new__(InverseWishart)
+    object.__setattr__(obj, "df", _f32(aux[0]))
+    object.__setattr__(obj, "Psi",
+                       np.frombuffer(aux[1], dtype=_f32).reshape(aux[2]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(InverseWishart, _iw_flatten,
+                                   _iw_unflatten)
+
+
 __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
     "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
@@ -2633,7 +3143,9 @@ __all__ = [
     "Biweight", "Triweight", "JohnsonSU", "GeneralizedExtremeValue",
     "NormalCanon", "InverseGaussian", "Chi", "BetaPrime",
     "PGeneralizedGaussian", "Rician", "Lindley", "LogitNormal",
-    "NoncentralChisq",
+    "NoncentralChisq", "Dirac", "DiscreteNonParametric",
+    "PoissonBinomial", "MvLogNormal", "MvTDist", "Wishart",
+    "InverseWishart",
     "Truncated", "TruncatedDiscrete", "TruncatedNormal",
     "Mixture", "MixtureModel", "Affine",
     "DiscreteUniform", "Bernoulli",

@@ -78,6 +78,9 @@ DISCRETE = [
     ka.BetaBinomial(9, 2.0, 2.0),
     ka.Hypergeometric(8, 6, 7),
     ka.Skellam(2.5, 1.5),
+    ka.Dirac(3),
+    ka.DiscreteNonParametric([2, 5, 9], [0.3, 0.3, 0.4]),
+    ka.PoissonBinomial([0.1, 0.5, 0.9, 0.3]),
 ]
 
 

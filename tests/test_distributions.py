@@ -1031,3 +1031,140 @@ def test_noncentral_chisq(nu, lam):
                                rtol=3e-3)
     ks = st.kstest(x[:4000], ref.cdf)
     assert ks.pvalue > 1e-4
+
+
+# --------------------------------------------------------------------------
+# Tier-4 discrete + multivariate batch
+# --------------------------------------------------------------------------
+
+def test_dirac():
+    d = ka.Dirac(3.0)
+    x = draws(d, n=100)
+    assert x.dtype == np.int32 and (x == 3).all()
+    assert float(d.logpdf(3)) == 0.0
+    assert float(d.logpdf(2)) == -np.inf
+    # float atom keeps float dtype and push snaps back to the atom
+    df = ka.Dirac(1.5)
+    xf = draws(df, n=10)
+    assert xf.dtype == np.float32 and (xf == 1.5).all()
+    assert float(df.push(jnp.asarray(7.3))) == 1.5
+    assert float(d.push(jnp.asarray(7.3))) == 3
+    assert float(d.cdf(2.9)) == 0.0 and float(d.cdf(3.0)) == 1.0
+
+
+def test_discrete_nonparametric():
+    xs = [1.0, 2.5, 4.0, 7.0]
+    ps = [0.1, 0.4, 0.3, 0.2]
+    d = ka.DiscreteNonParametric(xs, ps)
+    assert d.discrete
+    x = draws(d)
+    # empirical pmf matches
+    for xi, pi in zip(xs, ps):
+        assert abs((x == xi).mean() - pi) < 0.02
+    np.testing.assert_allclose(
+        np.asarray(d.logpdf(np.array(xs, np.float32))), np.log(ps),
+        rtol=1e-5)
+    assert float(d.logpdf(3.0)) == -np.inf
+    # nearest-atom push
+    assert float(d.push(jnp.asarray(2.9))) == 2.5
+    assert float(d.push(jnp.asarray(3.3))) == 4.0
+    assert float(d.push(jnp.asarray(-5.0))) == 1.0
+    assert float(d.push(jnp.asarray(100.0))) == 7.0
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(np.array([0.5, 2.5, 5.0, 9.0], np.float32))),
+        [0.0, 0.5, 0.8, 1.0], atol=1e-6)
+    assert float(d.quantile(0.45)) == 2.5
+    # integer support -> int32 samples (reference push_p policy)
+    di = ka.DiscreteNonParametric([2, 5, 9], [0.3, 0.3, 0.4])
+    assert np.asarray(di.sample(KEY, (5,))).dtype == np.int32
+    import pytest
+    with pytest.raises(ValueError, match="sum to 1"):
+        ka.DiscreteNonParametric([1.0, 2.0], [0.5, 0.6])
+
+
+def test_poisson_binomial():
+    ps = [0.1, 0.5, 0.9, 0.3]
+    d = ka.PoissonBinomial(ps)
+    x = draws(d)
+    assert x.dtype == np.int32
+    assert abs(x.mean() - sum(ps)) < 0.03
+    # exact pmf by brute-force enumeration
+    import itertools
+    pmf = np.zeros(5)
+    for bits in itertools.product([0, 1], repeat=4):
+        pr = np.prod([p if b else 1 - p for p, b in zip(ps, bits)])
+        pmf[sum(bits)] += pr
+    ks = np.arange(5)
+    np.testing.assert_allclose(np.asarray(d.logpdf(ks)), np.log(pmf),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.cdf(ks)), np.cumsum(pmf),
+                               rtol=1e-5)
+    assert float(d.logpdf(5)) == -np.inf
+    assert float(d.logpdf(2.5)) == -np.inf
+    # equal-p case equals Binomial
+    db = ka.PoissonBinomial([0.4] * 6)
+    np.testing.assert_allclose(np.asarray(db.logpdf(np.arange(7))),
+                               st.binom(6, 0.4).logpmf(np.arange(7)),
+                               rtol=1e-5)
+
+
+def test_mv_log_normal():
+    mean = np.array([0.2, -0.3])
+    cov = np.array([[0.5, 0.2], [0.2, 0.4]])
+    d = ka.MvLogNormal(mean, cov)
+    x = draws(d)
+    assert x.shape == (N, 2) and (x > 0).all()
+    # moments of lognormal: E[X_i] = exp(mu_i + cov_ii/2)
+    np.testing.assert_allclose(x.mean(axis=0),
+                               np.exp(mean + np.diag(cov) / 2), rtol=0.05)
+    pts = np.array([[1.0, 0.5], [2.0, 1.5]], np.float32)
+    ref = (st.multivariate_normal(mean, cov).logpdf(np.log(pts))
+           - np.log(pts).sum(axis=1))
+    np.testing.assert_allclose(np.asarray(d.logpdf(pts)), ref, rtol=1e-3)
+    assert float(d.logpdf(np.array([1.0, -0.5], np.float32))) == -np.inf
+
+
+def test_mv_t_dist():
+    mean = np.array([1.0, -2.0, 0.5])
+    cov = np.array([[1.0, 0.3, 0.0], [0.3, 2.0, 0.5], [0.0, 0.5, 1.5]])
+    d = ka.MvTDist(5.0, mean, cov)
+    x = draws(d)
+    assert abs(x.mean(axis=0) - mean).max() < 0.1
+    # covariance of mv-t is df/(df-2) Sigma
+    emp = np.cov(x.T)
+    np.testing.assert_allclose(emp, 5.0 / 3.0 * cov, rtol=0.15, atol=0.05)
+    pts = np.array([[1.0, -2.0, 0.5], [2.0, 0.0, -1.0]], np.float32)
+    ref = st.multivariate_t(mean, cov, df=5).logpdf(pts)
+    np.testing.assert_allclose(np.asarray(d.logpdf(pts)), ref, rtol=1e-3)
+
+
+def test_wishart():
+    S = np.array([[1.0, 0.3], [0.3, 0.8]])
+    d = ka.Wishart(5.0, S)
+    x = draws(d, n=4000)
+    assert x.shape == (4000, 2, 2)
+    # E[W] = df * S
+    np.testing.assert_allclose(x.mean(axis=0), 5.0 * S, rtol=0.08)
+    ref = st.wishart(5, S)
+    pts = np.stack([5.0 * S, np.array([[2.0, 0.1], [0.1, 6.0]])]).astype(
+        np.float32)
+    np.testing.assert_allclose(np.asarray(d.logpdf(pts)),
+                               [ref.logpdf(p) for p in pts], rtol=2e-3)
+    import pytest
+    with pytest.raises(ValueError, match="df"):
+        ka.Wishart(0.5, S)
+
+
+def test_inverse_wishart():
+    Psi = np.array([[2.0, 0.4], [0.4, 1.5]])
+    d = ka.InverseWishart(6.0, Psi)
+    x = draws(d, n=4000)
+    # E[X] = Psi / (df - d - 1) = Psi / 3
+    np.testing.assert_allclose(x.mean(axis=0), Psi / 3.0, rtol=0.1)
+    ref = st.invwishart(6, Psi)
+    pts = np.stack([Psi / 3.0, np.array([[1.0, 0.0], [0.0, 0.8]])]).astype(
+        np.float32)
+    np.testing.assert_allclose(np.asarray(d.logpdf(pts)),
+                               [ref.logpdf(p) for p in pts], rtol=2e-3)
+    # samples are SPD
+    assert (np.linalg.eigvalsh(x[:100]) > 0).all()
