@@ -35,7 +35,7 @@ from .distributions import (  # noqa: F401
     GeneralizedPareto, Geometric, Gumbel,
     Hypergeometric, IID, InverseGamma, InverseGaussian, InverseWishart,
     JohnsonSU,
-    Kumaraswamy, Laplace, Levy, Lindley,
+    Kumaraswamy, Laplace, Levy, Lindley, LKJ, LKJCholesky,
     Logistic, LogitNormal, LogNormal, LogUniform, Mixture, MixtureModel,
     MultivariateNormal, Multinomial, MvLogNormal, MvNormal, MvTDist,
     NegativeBinomial, NoncentralChisq, Normal, NormalCanon, Pareto,

@@ -3027,13 +3027,22 @@ class Wishart(Distribution):
         la = jnp.einsum("ij,...jk->...ik", self._L, a)
         return la @ jnp.swapaxes(la, -1, -2)
 
+    def push(self, x):
+        """Matrix-support projection (the continuous analogue of the
+        discrete round-to-int push): proposals evolve the d x d leaf
+        elementwise, so symmetry is restored here; non-SPD projections
+        get -inf from logpdf and are MH-rejected."""
+        x = jnp.asarray(x, jnp.float32)
+        return 0.5 * (x + jnp.swapaxes(x, -1, -2))
+
     def logpdf(self, x):
         d = self.S.shape[0]
         cl = jnp.linalg.cholesky(x)
         ldx = _tri_logdet(cl)
         m = jnp.einsum("ij,...jk->...ik", self._Linv, cl)
         tr = jnp.sum(m * m, axis=(-2, -1))
-        return (0.5 * (self.df - d - 1.0) * ldx - 0.5 * tr - self._lnorm)
+        lp = 0.5 * (self.df - d - 1.0) * ldx - 0.5 * tr - self._lnorm
+        return jnp.where(jnp.isfinite(lp), lp, _NEG_INF)  # non-SPD -> -inf
 
     def __repr__(self):
         return f"Wishart(df={self.df}, d={self.S.shape[0]})"
@@ -3100,6 +3109,10 @@ class InverseWishart(Distribution):
         inv_cw = jax.scipy.linalg.solve_triangular(cw, eye, lower=True)
         return jnp.swapaxes(inv_cw, -1, -2) @ inv_cw
 
+    def push(self, x):
+        x = jnp.asarray(x, jnp.float32)
+        return 0.5 * (x + jnp.swapaxes(x, -1, -2))
+
     def logpdf(self, x):
         d = self.Psi.shape[0]
         cl = jnp.linalg.cholesky(x)
@@ -3110,7 +3123,8 @@ class InverseWishart(Distribution):
         m = jax.scipy.linalg.solve_triangular(
             cl, jnp.broadcast_to(self._LP, cl.shape), lower=True)
         tr = jnp.sum(m * m, axis=(-2, -1))
-        return (-0.5 * (self.df + d + 1.0) * ldx - 0.5 * tr - self._lnorm)
+        lp = -0.5 * (self.df + d + 1.0) * ldx - 0.5 * tr - self._lnorm
+        return jnp.where(jnp.isfinite(lp), lp, _NEG_INF)  # non-SPD -> -inf
 
     def __repr__(self):
         return f"InverseWishart(df={self.df}, d={self.Psi.shape[0]})"
@@ -3133,6 +3147,176 @@ jax.tree_util.register_pytree_node(InverseWishart, _iw_flatten,
                                    _iw_unflatten)
 
 
+class LKJCholesky(Distribution):
+    """LKJ distribution over CHOLESKY FACTORS of d x d correlation
+    matrices (Distributions.jl ``LKJCholesky(d, eta)``). Samples lower
+    triangular L with unit-norm rows (so L L^T is a correlation
+    matrix); density over L's free entries is the exact row-factorized
+    onion form
+
+      log p(L) = sum_m [(2 eta - 2 + d - 1 - m) log L_mm]  - log Z
+
+    (m = 1..d-1, 0-indexed rows), with the normalizer assembled from
+    per-row Beta and sphere-area constants on the host. Sampling is the
+    onion method: one batched Beta + one batched normal per row,
+    unrolled at trace time over the host-known d."""
+
+    event_dim = 2
+
+    def __init__(self, d, eta=1.0):
+        d, eta = int(d), float(eta)
+        if d < 2 or eta <= 0:
+            raise ValueError("LKJCholesky needs d >= 2 and eta > 0")
+        object.__setattr__(self, "d", d)
+        object.__setattr__(self, "eta", _f32(eta))
+        self._post_init()
+
+    def _post_init(self):
+        d, eta = int(self.d), float(self.eta)
+        lz = 0.0
+        betas = []
+        for m in range(1, d):
+            a, b = m / 2.0, eta + (d - 1 - m) / 2.0
+            betas.append((_f32(a), _f32(b)))
+            log_sphere = (math.log(2.0) + 0.5 * m * math.log(math.pi)
+                          - sps.gammaln(0.5 * m))
+            lz += sps.betaln(a, b) + log_sphere - math.log(2.0)
+        object.__setattr__(self, "_betas", tuple(betas))
+        object.__setattr__(self, "_lz", _f32(lz))
+        # diag exponents (2 eta - 2 + d - 1 - m), m = 0..d-1 (row 0 unused)
+        object.__setattr__(
+            self, "_dexp",
+            (2.0 * eta - 2.0 + d - 1 - np.arange(d)).astype(_f32))
+
+    @property
+    def nparams(self):
+        return self.d * self.d
+
+    def sample(self, key, shape=()):
+        d = self.d
+        rows = [jnp.broadcast_to(
+            jnp.concatenate([jnp.ones((1,), jnp.float32),
+                             jnp.zeros((d - 1,), jnp.float32)]),
+            shape + (d,))]
+        for m in range(1, d):
+            km = jax.random.fold_in(key, m)
+            kb, kn = jax.random.split(km)
+            a, b = self._betas[m - 1]
+            y = jax.random.beta(kb, a, b, shape)
+            z = jax.random.normal(kn, shape + (m,))
+            u = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+            w = jnp.sqrt(y)[..., None] * u
+            lmm = jnp.sqrt(jnp.maximum(1.0 - y, 1e-30))[..., None]
+            pad = jnp.zeros(shape + (d - 1 - m,), jnp.float32)
+            rows.append(jnp.concatenate([w, lmm, pad], axis=-1))
+        return jnp.stack(rows, axis=-2)
+
+    def push(self, x):
+        """Project a float-evolved leaf back onto lower-triangular
+        unit-norm-row Cholesky factors of correlation matrices."""
+        x = jnp.tril(jnp.asarray(x, jnp.float32))
+        nrm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(nrm, 1e-30)
+
+    def logpdf(self, L):
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        ok = jnp.all(diag > 0, axis=-1)
+        ds = jnp.where(diag > 0, diag, 1.0)
+        lp = jnp.sum(self._dexp[1:] * jnp.log(ds[..., 1:]), axis=-1)
+        return jnp.where(ok, lp - self._lz, _NEG_INF)
+
+    def __repr__(self):
+        return f"LKJCholesky(d={self.d}, eta={self.eta})"
+
+
+def _lkjc_flatten(d):
+    return (), (d.d, float(d.eta))
+
+
+def _lkjc_unflatten(aux, _):
+    obj = object.__new__(LKJCholesky)
+    object.__setattr__(obj, "d", aux[0])
+    object.__setattr__(obj, "eta", _f32(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(LKJCholesky, _lkjc_flatten,
+                                   _lkjc_unflatten)
+
+
+class LKJ(Distribution):
+    """LKJ distribution over d x d CORRELATION MATRICES
+    (Distributions.jl ``LKJ(d, eta)``): density det(R)^(eta-1) / c_d(eta)
+    with the Lewandowski-Kurowicka-Joe normalizer
+
+      c_d(eta) = 2^{sum_k (2 eta - 2 + d - k)(d - k)}
+                 prod_k B(eta + (d-k-1)/2, eta + (d-k-1)/2)^{d-k}
+
+    (k = 1..d-1). Sampling draws an LKJCholesky L and returns L L^T."""
+
+    event_dim = 2
+
+    def __init__(self, d, eta=1.0):
+        d, eta = int(d), float(eta)
+        if d < 2 or eta <= 0:
+            raise ValueError("LKJ needs d >= 2 and eta > 0")
+        object.__setattr__(self, "d", d)
+        object.__setattr__(self, "eta", _f32(eta))
+        self._post_init()
+
+    def _post_init(self):
+        d, eta = int(self.d), float(self.eta)
+        object.__setattr__(self, "_chol", LKJCholesky(d, eta))
+        lc = 0.0
+        for k in range(1, d):
+            lc += (2.0 * eta - 2.0 + d - k) * (d - k) * math.log(2.0)
+            lc += (d - k) * sps.betaln(eta + (d - k - 1) / 2.0,
+                                       eta + (d - k - 1) / 2.0)
+        object.__setattr__(self, "_lc", _f32(lc))
+
+    @property
+    def nparams(self):
+        return self.d * self.d
+
+    def sample(self, key, shape=()):
+        L = self._chol.sample(key, shape)
+        return L @ jnp.swapaxes(L, -1, -2)
+
+    def push(self, x):
+        """Project a float-evolved leaf back onto correlation matrices:
+        symmetrize and pin the diagonal at 1 (non-SPD projections get
+        -inf from logpdf and are MH-rejected)."""
+        x = jnp.asarray(x, jnp.float32)
+        sym = 0.5 * (x + jnp.swapaxes(x, -1, -2))
+        d = self.d
+        eye = jnp.eye(d, dtype=jnp.float32)
+        return sym * (1.0 - eye) + eye
+
+    def logpdf(self, R):
+        cl = jnp.linalg.cholesky(R)
+        lp = (self.eta - 1.0) * _tri_logdet(cl) - self._lc
+        return jnp.where(jnp.isfinite(lp), lp, _NEG_INF)
+
+    def __repr__(self):
+        return f"LKJ(d={self.d}, eta={self.eta})"
+
+
+def _lkj_flatten(d):
+    return (), (d.d, float(d.eta))
+
+
+def _lkj_unflatten(aux, _):
+    obj = object.__new__(LKJ)
+    object.__setattr__(obj, "d", aux[0])
+    object.__setattr__(obj, "eta", _f32(aux[1]))
+    obj._post_init()
+    return obj
+
+
+jax.tree_util.register_pytree_node(LKJ, _lkj_flatten, _lkj_unflatten)
+
+
 __all__ = [
     "Distribution", "Uniform", "Normal", "Exponential", "Beta", "Gamma",
     "LogNormal", "Laplace", "Cauchy", "StudentT", "TDist", "Weibull",
@@ -3145,7 +3329,7 @@ __all__ = [
     "PGeneralizedGaussian", "Rician", "Lindley", "LogitNormal",
     "NoncentralChisq", "Dirac", "DiscreteNonParametric",
     "PoissonBinomial", "MvLogNormal", "MvTDist", "Wishart",
-    "InverseWishart",
+    "InverseWishart", "LKJ", "LKJCholesky",
     "Truncated", "TruncatedDiscrete", "TruncatedNormal",
     "Mixture", "MixtureModel", "Affine",
     "DiscreteUniform", "Bernoulli",

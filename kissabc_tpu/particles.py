@@ -120,8 +120,11 @@ def particles_from_tree(tree_of_columns):
         if a.ndim == 1:
             cols.append(Particles(a))
         else:
-            for j in range(a.shape[1]):
-                cols.append(Particles(a[:, j]))
+            # vector/matrix events: one Particles per scalar component
+            # (matrix leaves flattened row-major over the event dims)
+            flat = a.reshape(a.shape[0], -1)
+            for j in range(flat.shape[1]):
+                cols.append(Particles(flat[:, j]))
     if len(cols) == 1:
         return cols[0]
     return cols

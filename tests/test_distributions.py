@@ -1168,3 +1168,104 @@ def test_inverse_wishart():
                                [ref.logpdf(p) for p in pts], rtol=2e-3)
     # samples are SPD
     assert (np.linalg.eigvalsh(x[:100]) > 0).all()
+
+
+def test_lkj_cholesky():
+    d, eta = 4, 2.5
+    dist = ka.LKJCholesky(d, eta)
+    L = draws(dist, n=8000)
+    assert L.shape == (8000, 4, 4)
+    # rows are unit norm (LL^T is a correlation matrix)
+    R = L @ np.swapaxes(L, -1, -2)
+    np.testing.assert_allclose(np.diagonal(R, axis1=-2, axis2=-1), 1.0,
+                               atol=1e-5)
+    # exact marginal: each off-diagonal r_ij ~ 2 Beta(a, a) - 1 with
+    # a = eta - 1 + d/2
+    a = eta - 1 + d / 2
+    for (i, j) in [(1, 0), (2, 1), (3, 0), (3, 2)]:
+        ks = st.kstest((R[:, i, j] + 1) / 2, st.beta(a, a).cdf)
+        assert ks.pvalue > 1e-4, f"r[{i},{j}]: p={ks.pvalue}"
+    # logpdf oracle: torch.distributions.LKJCholesky (same density-over-L
+    # parameterization)
+    import torch
+    tl = torch.distributions.LKJCholesky(d, eta)
+    L64 = L[:16].astype(np.float64)
+    L64 /= np.linalg.norm(L64, axis=-1, keepdims=True)  # exact unit rows
+    ref = tl.log_prob(torch.from_numpy(L64)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(dist.logpdf(jnp.asarray(L[:16]))), ref, rtol=1e-3,
+        atol=1e-3)
+
+
+def test_lkj():
+    d, eta = 3, 1.8
+    dist = ka.LKJ(d, eta)
+    R = draws(dist, n=8000)
+    np.testing.assert_allclose(np.diagonal(R, axis1=-2, axis2=-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(R, np.swapaxes(R, -1, -2), atol=1e-6)
+    a = eta - 1 + d / 2
+    ks = st.kstest((R[:, 1, 0] + 1) / 2, st.beta(a, a).cdf)
+    assert ks.pvalue > 1e-4
+    # normalizer oracle: numerically integrate exp(logpdf) over the
+    # 3x3 elliptope on a grid -> must be ~1
+    n = 120
+    g = np.linspace(-1 + 1 / n, 1 - 1 / n, n).astype(np.float64)
+    r12, r13, r23 = np.meshgrid(g, g, g, indexing="ij")
+    det = (1 + 2 * r12 * r13 * r23 - r12**2 - r13**2 - r23**2)
+    valid = det > 1e-12
+    lc = float(dist._lc)
+    integrand = np.where(valid, np.exp((eta - 1) * np.log(
+        np.where(valid, det, 1.0)) - lc), 0.0)
+    total = integrand.sum() * (2 / n) ** 3
+    assert abs(total - 1.0) < 0.01, f"LKJ normalizer integral = {total}"
+    # uniform case eta=1: E[R] = I
+    du = ka.LKJ(3, 1.0)
+    Ru = draws(du, n=8000)
+    np.testing.assert_allclose(Ru.mean(axis=0), np.eye(3), atol=0.03)
+
+
+def test_matrix_push_projections():
+    # push is the continuous analogue of round-to-int: it projects
+    # float-evolved matrix leaves back onto the support manifold
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(5, 3, 3)),
+                    jnp.float32)
+    w = ka.Wishart(5.0, np.eye(3))
+    pw = np.asarray(w.push(x))
+    np.testing.assert_allclose(pw, np.swapaxes(pw, -1, -2), atol=1e-6)
+    lkj = ka.LKJ(3, 2.0)
+    pl = np.asarray(lkj.push(x))
+    np.testing.assert_allclose(pl, np.swapaxes(pl, -1, -2), atol=1e-6)
+    np.testing.assert_allclose(np.diagonal(pl, axis1=-2, axis2=-1), 1.0)
+    lc = ka.LKJCholesky(3, 2.0)
+    pc = np.asarray(lc.push(x))
+    assert (np.triu(pc, 1) == 0).all()
+    np.testing.assert_allclose(np.linalg.norm(pc, axis=-1), 1.0, atol=1e-6)
+    # non-SPD projection -> -inf logpdf (MH rejects rather than NaNs)
+    bad = jnp.asarray(np.diag([1.0, -1.0, 1.0]), jnp.float32)
+    assert float(w.logpdf(bad)) == -np.inf
+    # all off-diagonals -0.9 is symmetric unit-diag but not PSD
+    badc = jnp.asarray(np.full((3, 3), -0.9) + 1.9 * np.eye(3), jnp.float32)
+    assert float(lkj.logpdf(lkj.push(badc))) == -np.inf
+    assert float(ka.InverseWishart(5.0, np.eye(3)).logpdf(bad)) == -np.inf
+
+
+def test_lkj_prior_smc_end_to_end():
+    # infer a 2x2 correlation matrix through smc: matrix leaves flow
+    # through proposals (push re-symmetrizes + pins the unit diagonal)
+    obs_corr = np.float32(0.6)
+    prior = ka.LKJ(2, 1.0)
+
+    def cost(R, key):
+        cl = jnp.linalg.cholesky(R)
+        z = jax.random.normal(key, (500, 2)) @ cl.T
+        r = jnp.mean(z[:, 0] * z[:, 1]) / (
+            jnp.std(z[:, 0]) * jnp.std(z[:, 1]))
+        return jnp.abs(r - obs_corr)
+
+    res = ka.smc(prior, cost, nparticles=128, epstol=0.05, max_iters=150,
+                 key=5)
+    P = res.P  # row-major components [R00, R01, R10, R11]
+    assert P[0].approx(1.0) and P[0].std() == 0.0
+    assert abs(P[1].mean() - 0.6) < 0.08
+    assert P[1].particles.max() <= 1.0 + 1e-6
