@@ -28,3 +28,12 @@ def test_example_socks(capsys):
     runpy.run_path(path, run_name="__main__")  # asserts internally
     out = capsys.readouterr().out
     assert "n_socks" in out and "prop_pairs" in out
+
+
+def test_example_covariance(capsys):
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_covariance.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "posterior: r =" in out
