@@ -45,7 +45,10 @@ from .distributions import (  # noqa: F401
     Triweight, Truncated,
     TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,
 )
-from .particles import Particles, chainsstack, particles_from_tree, pmap_apply  # noqa: F401
+from .particles import (  # noqa: F401
+    Particles, chainsstack, particles_from_tree, pmap_apply,
+    pmean, pstd, pmedian, pquantile,
+)
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
 )

@@ -19,11 +19,21 @@ def _as_np(x):
 
 
 class Particles:
-    """A 1-D cloud of samples for one scalar quantity."""
+    """A 1-D cloud of samples for one scalar quantity.
+
+    Construct from an array of samples — ``Particles(samples)`` — or,
+    MonteCarloMeasurements-style, by sampling a distribution:
+    ``Particles(2000, Normal(0, 1), key=0)`` (MCM's
+    ``Particles(N, dist)`` idiom)."""
 
     __array_priority__ = 100  # beat ndarray in mixed binary ops
 
-    def __init__(self, x):
+    def __init__(self, x, dist=None, key=0):
+        if dist is not None:
+            import jax
+            n = int(x)
+            k = key if not isinstance(key, int) else jax.random.key(key)
+            x = dist.sample(k, (n,))
         x = _as_np(x).reshape(-1)
         self.particles = x
 
@@ -148,6 +158,23 @@ def pmap_apply(f, *ps):
     arrays = [p.particles if isinstance(p, Particles) else _as_np(p)
               for p in ps]
     return Particles(np.asarray(f(*arrays)))
+
+
+def pmean(p):
+    """MCM-style free function: mean of a Particles cloud (or number)."""
+    return p.mean() if isinstance(p, Particles) else float(np.mean(p))
+
+
+def pstd(p):
+    return p.std() if isinstance(p, Particles) else float(np.std(p, ddof=1))
+
+
+def pmedian(p):
+    return p.median() if isinstance(p, Particles) else float(np.median(p))
+
+
+def pquantile(p, q):
+    return p.quantile(q) if isinstance(p, Particles) else np.quantile(p, q)
 
 
 def pcov(ps):

@@ -1,0 +1,68 @@
+"""Unit tests for the Particles result type (MonteCarloMeasurements
+parity surface: constructors, p-statistics, two-sided approx, algebra,
+tree bundling)."""
+
+import numpy as np
+
+import kissabc_tpu as ka
+from kissabc_tpu.particles import particles_from_tree
+
+
+def test_sampling_constructor():
+    # MCM's Particles(N, dist) idiom
+    p = ka.Particles(20_000, ka.Normal(1.5, 0.7), key=3)
+    assert len(p) == 20_000
+    assert abs(p.mean() - 1.5) < 0.02
+    assert abs(p.std() - 0.7) < 0.02
+    # discrete dist samples stay integer-valued
+    q = ka.Particles(5_000, ka.Poisson(4.0), key=1)
+    assert q.particles.dtype == np.int32
+    assert abs(q.mean() - 4.0) < 0.15
+
+
+def test_p_functions():
+    p = ka.Particles(np.arange(101, dtype=np.float32))
+    assert ka.pmean(p) == 50.0
+    assert ka.pmedian(p) == 50.0
+    assert abs(ka.pstd(p) - np.std(np.arange(101.0), ddof=1)) < 1e-6
+    assert ka.pquantile(p, 0.25) == 25.0
+    # also accept raw arrays
+    assert ka.pmean([1.0, 3.0]) == 2.0
+
+
+def test_two_sided_approx():
+    a = ka.Particles(np.random.default_rng(0).normal(0.0, 1.0, 4000))
+    tight = ka.Particles(np.random.default_rng(1).normal(0.5, 0.01, 4000))
+    # one-sided (self std only) would fail from tight's view; two-sided
+    # passes because a's std is wide
+    assert tight.approx(a)
+    assert a.approx(tight)
+    assert not tight.approx(ka.Particles(
+        np.random.default_rng(2).normal(5.0, 0.01, 4000)))
+
+
+def test_algebra_and_map():
+    p = ka.Particles(np.array([1.0, 2.0, 3.0]))
+    assert np.allclose(((p + 1) * 2).particles, [4.0, 6.0, 8.0])
+    assert np.allclose((1 - p).particles, [0.0, -1.0, -2.0])
+    assert np.allclose((p ** 2).particles, [1.0, 4.0, 9.0])
+    assert np.allclose(p.map(np.exp).particles, np.exp([1.0, 2.0, 3.0]))
+
+
+def test_tree_bundling_matrix_leaves():
+    tree = (np.ones((10,)), np.arange(20.0).reshape(10, 2),
+            np.arange(40.0).reshape(10, 2, 2))
+    cols = particles_from_tree(tree)
+    # 1 scalar + 2 vector + 4 matrix components
+    assert len(cols) == 7
+    # matrix components flatten row-major: entry (0,1) of walker w is
+    # 4w + 1
+    assert np.allclose(cols[4].particles, 4 * np.arange(10.0) + 1)
+
+
+def test_chainsstack():
+    a = [ka.Particles(np.zeros(5)), ka.Particles(np.ones(5))]
+    b = [ka.Particles(np.ones(5)), ka.Particles(np.zeros(5))]
+    out = ka.chainsstack([a, b])
+    assert len(out) == 2 and len(out[0]) == 10
+    assert out[0].particles.sum() == 5.0
