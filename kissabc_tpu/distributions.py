@@ -1223,8 +1223,12 @@ class TruncatedDiscrete(Distribution):
 
     def logpdf(self, x):
         xf = jnp.asarray(x, jnp.float32)
-        inside = (xf >= self._klo) & (xf <= self._khi)
-        xi = jnp.clip(jnp.asarray(x, jnp.int32) - self._klo, 0,
+        xr = jnp.round(xf)
+        # pmf lives only on the integer atoms (match PoissonBinomial's
+        # integrality guard); round (not toward-zero cast) pairs the index
+        # with the correct atom for negative supports too
+        inside = (xr >= self._klo) & (xr <= self._khi) & (xf == xr)
+        xi = jnp.clip(xr.astype(jnp.int32) - self._klo, 0,
                       self._khi - self._klo)
         return jnp.where(inside, jnp.take(self._logpmf, xi), _NEG_INF)
 
@@ -1387,6 +1391,10 @@ class Mixture(Distribution):
         if len({bool(c.discrete) for c in components}) != 1:
             raise ValueError(
                 "Mixture components must all be discrete or all continuous")
+        if any(getattr(c, "event_dim", 0) != 0 for c in components):
+            raise ValueError(
+                "Mixture supports univariate components only (the "
+                "select-sampling reshape assumes scalar events)")
         if weights is None:
             weights = np.full(len(components), 1.0 / len(components))
         w = np.asarray(weights, np.float64)
@@ -1428,11 +1436,18 @@ class Mixture(Distribution):
         if self.discrete:
             raise NotImplementedError(
                 "Mixture.quantile is available for continuous mixtures")
-        los = [float(c.quantile(np.float32(1e-6)))
-               for c in self.components]
-        his = [float(c.quantile(np.float32(1.0 - 1e-6)))
-               for c in self.components]
-        return _bisect_quantile(self.cdf, min(los), max(his), q)
+        # bracket bounds are derived host constants — computed once and
+        # memoized (never per call, and never inside a trace: the
+        # component quantiles here are eager device ops + readbacks,
+        # which the CLAUDE.md tunnel rule forbids at trace time)
+        if not hasattr(self, "_qbounds"):
+            los = [float(c.quantile(np.float32(1e-6)))
+                   for c in self.components]
+            his = [float(c.quantile(np.float32(1.0 - 1e-6)))
+                   for c in self.components]
+            object.__setattr__(self, "_qbounds", (min(los), max(his)))
+        lo, hi = self._qbounds
+        return _bisect_quantile(self.cdf, lo, hi, q)
 
     def __repr__(self):
         return (f"Mixture({list(self.components)!r}, "
@@ -2253,7 +2268,8 @@ class GeneralizedExtremeValue(Distribution):
                     * jnp.log1p(self.xi * zs))
         c = jnp.exp(-t)
         lower_is_0 = float(self.xi) > 0
-        return jnp.where(inside, c, 0.0 if lower_is_0 else 1.0)
+        return jnp.where(inside, c,
+                         np.float32(0.0) if lower_is_0 else np.float32(1.0))
 
     def quantile(self, q):
         if float(self.xi) == 0.0:
@@ -2324,7 +2340,7 @@ class InverseGaussian(Distribution):
         # exp(2 lam/mu) overflows alone; fold it into the log-cdf term
         b = jnp.exp(2.0 * self.lam / self.mu
                     + log_ndtr(-r * (xs / self.mu + 1.0)))
-        return jnp.where(ok, a + b, 0.0)
+        return jnp.where(ok, a + b, np.float32(0.0))
 
     def quantile(self, q):
         return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
@@ -2561,7 +2577,8 @@ class LogitNormal(Distribution):
         xc = jnp.clip(x, 1e-7, 1.0 - 1e-7)
         lgt = jnp.log(xc) - jnp.log1p(-xc)
         c = ndtr((lgt - self.mu) / self.sigma)
-        return jnp.where(x <= 0, 0.0, jnp.where(x >= 1, 1.0, c))
+        return jnp.where(x <= 0, np.float32(0.0),
+                         jnp.where(x >= 1, np.float32(1.0), c))
 
     def quantile(self, q):
         return jax.nn.sigmoid(self.mu + self.sigma * ndtri(q))
@@ -2705,9 +2722,13 @@ class DiscreteNonParametric(Distribution):
         if np.any(ps < 0) or not np.isclose(ps.sum(), 1.0, atol=1e-6):
             raise ValueError("DiscreteNonParametric weights must be "
                              "nonnegative and sum to 1")
-        order = np.argsort(xs)
-        object.__setattr__(self, "xs", xs[order])
-        object.__setattr__(self, "ps", ps[order].astype(_f32))
+        # merge duplicate atoms so logpdf (searchsorted: first hit) and
+        # sample (sum of duplicate weights) agree on the pmf
+        uxs, inv = np.unique(xs, return_inverse=True)
+        ups = np.zeros(uxs.shape, np.float64)
+        np.add.at(ups, inv, ps)
+        object.__setattr__(self, "xs", uxs)
+        object.__setattr__(self, "ps", ups.astype(_f32))
         self._post_init()
 
     def _post_init(self):

@@ -31,8 +31,15 @@ class Particles:
     def __init__(self, x, dist=None, key=0):
         if dist is not None:
             import jax
+            if getattr(dist, "event_dim", 0) != 0:
+                raise ValueError(
+                    "Particles(N, dist) needs a univariate (scalar-event) "
+                    "distribution; for vector/matrix-variate samples draw "
+                    "with dist.sample and bundle per component via "
+                    "particles_from_tree")
             n = int(x)
-            k = key if not isinstance(key, int) else jax.random.key(key)
+            k = (jax.random.key(int(key))
+                 if isinstance(key, (int, np.integer)) else key)
             x = dist.sample(k, (n,))
         x = _as_np(x).reshape(-1)
         self.particles = x

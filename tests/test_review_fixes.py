@@ -124,3 +124,64 @@ def test_sequential_schedule_rejects_ignored_knobs():
     with pytest.raises(ValueError, match="progress"):
         ka.sample(mdl, ka.AIS(8), 4, schedule="sequential",
                   progress=True)
+
+
+# --- round-2 review batch: distribution-tier + Particles findings --------
+
+
+def test_particles_sampling_ctor_rejects_multivariate():
+    # review r2: Particles(N, MvNormal) silently flattened both
+    # coordinates into one 2N-length scalar cloud
+    with pytest.raises(ValueError, match="univariate"):
+        ka.Particles(64, ka.MvNormal(np.zeros(2), np.eye(2)), key=0)
+
+
+def test_particles_sampling_ctor_numpy_key():
+    # review r2: numpy integer seeds crashed (isinstance(np.int64, int)
+    # is False, so the raw scalar reached jax as a malformed key)
+    a = ka.Particles(256, ka.Normal(0.0, 1.0), key=np.int64(3))
+    b = ka.Particles(256, ka.Normal(0.0, 1.0), key=3)
+    assert np.allclose(a.particles, b.particles)
+
+
+def test_discrete_nonparametric_merges_duplicate_atoms():
+    # review r2: duplicate atoms made sample() and logpdf() disagree
+    # (searchsorted found only the first duplicate's weight)
+    d = ka.DiscreteNonParametric([1.0, 1.0, 2.0], [0.25, 0.25, 0.5])
+    assert d.xs.shape == (2,)
+    assert np.isclose(float(d.logpdf(1.0)), np.log(0.5), rtol=1e-6)
+    assert np.isclose(float(d.cdf(1.0)), 0.5, rtol=1e-6)
+
+
+def test_mixture_rejects_multivariate_components():
+    # review r2: multivariate components constructed fine but sample()
+    # crashed with an opaque broadcast error in take_along_axis
+    with pytest.raises(ValueError, match="univariate"):
+        ka.Mixture([ka.MvNormal(np.zeros(2), np.eye(2)),
+                    ka.MvNormal(np.ones(2), np.eye(2))])
+
+
+def test_mixture_quantile_bounds_memoized():
+    # review r2: quantile() recomputed component-quantile device ops +
+    # float() readbacks per call (tunnel trap); now memoized host consts
+    m = ka.Mixture([ka.Normal(0.0, 1.0), ka.Normal(5.0, 2.0)], [0.3, 0.7])
+    q = float(m.quantile(np.float32(0.5)))
+    assert abs(float(m.cdf(q)) - 0.5) < 1e-4
+    assert hasattr(m, "_qbounds")
+    lo, hi = m._qbounds
+    assert isinstance(lo, float) and isinstance(hi, float)
+
+
+def test_truncated_discrete_integrality_and_negative_atoms():
+    # review r2: non-integer x inside the window returned finite mass,
+    # and the toward-zero int cast paired negative x with the wrong atom
+    import scipy.stats as st
+    td = ka.Truncated(ka.Poisson(3.0), 1, 5)
+    assert float(td.logpdf(2.5)) == -np.inf
+    assert np.isfinite(float(td.logpdf(2.0)))
+    sk = ka.Truncated(ka.Skellam(2.0, 3.0), -5, 5)
+    ref = st.skellam(2, 3)
+    mass = ref.cdf(5) - ref.cdf(-6)
+    assert np.isclose(float(jnp.exp(sk.logpdf(-3))),
+                      ref.pmf(-3) / mass, rtol=1e-5)
+    assert float(sk.logpdf(-2.7)) == -np.inf
