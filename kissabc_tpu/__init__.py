@@ -49,6 +49,11 @@ from .particles import (  # noqa: F401
     Particles, chainsstack, particles_from_tree, pmap_apply,
     pmean, pstd, pmedian, pquantile,
 )
+from .statistics import (  # noqa: F401
+    mean, var, std, median, mode, skewness, kurtosis, entropy,
+    minimum, maximum, insupport, cov, params,
+    cdf, ccdf, logcdf, logccdf, pdf, logpdf, quantile, cquantile,
+)
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
 )

@@ -1,0 +1,278 @@
+"""Distributions.jl functional statistics surface (statistics.py).
+
+Two independent oracles:
+1. scipy frozen objects constructed HERE with their own convention
+   mapping (a registry error in statistics._twin must be made
+   identically twice to slip through);
+2. empirical moments from OUR samplers (fully independent of scipy;
+   the only check possible for override families like Kumaraswamy,
+   Lindley, Mixture, Truncated, the kernels, ...).
+
+Reference surface: the @reexport of Distributions.jl at
+/root/reference/src/KissABC.jl:13-14 gives users mean/std/var/mode/
+entropy/insupport/minimum/maximum/params/ccdf/... on every prior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import kissabc_tpu as ka
+
+# (ours, scipy twin built independently here)
+TWIN_CASES = [
+    (ka.Normal(1.5, 2.0), st.norm(1.5, 2.0)),
+    (ka.Uniform(-1.0, 3.0), st.uniform(-1.0, 4.0)),
+    (ka.Exponential(2.5), st.expon(scale=2.5)),
+    (ka.Beta(2.0, 5.0), st.beta(2.0, 5.0)),
+    (ka.Gamma(2.5, 1.7), st.gamma(2.5, scale=1.7)),
+    (ka.LogNormal(0.3, 0.8), st.lognorm(0.8, scale=np.exp(0.3))),
+    (ka.Laplace(1.0, 2.0), st.laplace(1.0, 2.0)),
+    (ka.StudentT(5.0), st.t(5.0)),
+    (ka.Weibull(2.0, 1.5), st.weibull_min(2.0, scale=1.5)),
+    (ka.Chisq(4.0), st.chi2(4.0)),
+    (ka.Chi(3.0), st.chi(3.0)),
+    (ka.NoncentralChisq(4.0, 2.5), st.ncx2(4.0, 2.5)),
+    (ka.FDist(8.0, 12.0), st.f(8.0, 12.0)),
+    (ka.Logistic(0.5, 1.2), st.logistic(0.5, 1.2)),
+    (ka.Rayleigh(2.0), st.rayleigh(scale=2.0)),
+    (ka.Pareto(3.0, 2.0), st.pareto(3.0, scale=2.0)),
+    (ka.GeneralizedPareto(0.5, 1.5, 0.2), st.genpareto(0.2, 0.5, 1.5)),
+    (ka.GeneralizedExtremeValue(0.5, 1.5, 0.2),
+     st.genextreme(-0.2, 0.5, 1.5)),
+    (ka.InverseGamma(3.0, 2.0), st.invgamma(3.0, scale=2.0)),
+    (ka.InverseGaussian(2.0, 3.0), st.invgauss(2.0 / 3.0, scale=3.0)),
+    (ka.Gumbel(0.5, 2.0), st.gumbel_r(0.5, 2.0)),
+    (ka.TriangularDist(0.0, 4.0, 1.0), st.triang(0.25, loc=0, scale=4)),
+    (ka.SymTriangularDist(1.0, 2.0), st.triang(0.5, loc=-1, scale=4)),
+    (ka.Cosine(1.0, 2.0), st.cosine(loc=1.0, scale=2.0 / np.pi)),
+    (ka.Arcsine(1.0, 3.0), st.arcsine(loc=1.0, scale=2.0)),
+    (ka.Semicircle(2.0), st.semicircular(scale=2.0)),
+    (ka.Frechet(3.0, 2.0), st.invweibull(3.0, scale=2.0)),
+    (ka.LogUniform(0.5, 4.0), st.loguniform(0.5, 4.0)),
+    (ka.JohnsonSU(0.5, 2.0, 0.3, 1.5),
+     st.johnsonsu(0.3, 1.5, loc=0.5, scale=2.0)),
+    (ka.BetaPrime(3.0, 5.0), st.betaprime(3.0, 5.0)),
+    (ka.PGeneralizedGaussian(0.5, 1.5, 3.0),
+     st.gennorm(3.0, loc=0.5, scale=1.5)),
+    (ka.Rician(2.0, 1.5), st.rice(2.0 / 1.5, scale=1.5)),
+    (ka.Poisson(3.5), st.poisson(3.5)),
+    (ka.Bernoulli(0.3), st.bernoulli(0.3)),
+    (ka.Binomial(10, 0.4), st.binom(10, 0.4)),
+    (ka.Geometric(0.3), st.geom(0.3, loc=-1)),
+    (ka.NegativeBinomial(4.0, 0.3), st.nbinom(4.0, 0.3)),
+    (ka.BetaBinomial(10, 2.0, 3.0), st.betabinom(10, 2.0, 3.0)),
+    (ka.Hypergeometric(7, 5, 6), st.hypergeom(12, 7, 6)),
+    (ka.Skellam(2.0, 3.0), st.skellam(2.0, 3.0)),
+    (ka.DiscreteUniform(2, 9), st.randint(2, 10)),
+]
+
+
+def test_twin_families_moments_and_support():
+    for d, f in TWIN_CASES:
+        name = type(d).__name__
+        assert np.isclose(ka.mean(d), f.mean(), rtol=1e-5,
+                          atol=1e-6), name
+        assert np.isclose(ka.var(d), f.var(), rtol=1e-5, atol=1e-6), name
+        assert np.isclose(ka.std(d), f.std(), rtol=1e-5, atol=1e-6), name
+        assert np.isclose(ka.median(d), f.median(), rtol=1e-5,
+                          atol=1e-6), name
+        assert np.isclose(ka.entropy(d), f.entropy(), rtol=1e-5,
+                          atol=1e-6), name
+        lo, hi = f.support()
+        assert np.isclose(ka.minimum(d), lo, rtol=1e-6, atol=1e-6), name
+        assert np.isclose(ka.maximum(d), hi, rtol=1e-6, atol=1e-6), name
+        # undefined higher moments (e.g. Pareto alpha<=3) are nan on
+        # both sides — equal_nan treats that as agreement
+        assert np.isclose(ka.skewness(d), f.stats(moments="s"),
+                          rtol=1e-5, atol=1e-6, equal_nan=True), name
+        assert np.isclose(ka.kurtosis(d), f.stats(moments="k"),
+                          rtol=1e-5, atol=1e-6, equal_nan=True), name
+
+
+# families with no scipy twin (or non-delegating overrides): empirical
+# moments from OUR sampler are the oracle
+OVERRIDE_CASES = [
+    ka.Kumaraswamy(2.0, 3.0),
+    ka.Lindley(0.7),
+    ka.LogitNormal(0.4, 0.9),
+    ka.Epanechnikov(1.0, 2.0),
+    ka.Biweight(-0.5, 1.5),
+    ka.Triweight(0.0, 2.0),
+    ka.Mixture([ka.Normal(0.0, 1.0), ka.Normal(4.0, 2.0)], [0.25, 0.75]),
+    (2.0 + 3.0 * ka.Exponential(1.5)),
+    (2.0 - 3.0 * ka.Exponential(1.5)),
+    ka.Truncated(ka.Normal(0.0, 1.0), 0.5, 2.0),
+    ka.Truncated(ka.Gamma(2.0, 1.5), 1.0, np.inf),
+    ka.Truncated(ka.Poisson(3.0), 1, 5),
+    ka.DiscreteNonParametric([0.5, 1.5, 4.0], [0.2, 0.5, 0.3]),
+    ka.PoissonBinomial([0.2, 0.5, 0.9]),
+]
+
+
+def test_override_families_empirical_moments():
+    n = 200_000
+    for i, d in enumerate(OVERRIDE_CASES):
+        x = np.asarray(d.sample(jax.random.key(100 + i), (n,)),
+                       np.float64)
+        m, s = ka.mean(d), ka.std(d)
+        name = type(d).__name__
+        # mean within 6 standard errors; std within 3%
+        assert abs(x.mean() - m) < 6.0 * s / np.sqrt(n) + 1e-4, (
+            name, x.mean(), m)
+        assert np.isclose(x.std(ddof=1), s, rtol=0.03), (
+            name, x.std(ddof=1), s)
+        assert ka.minimum(d) - 1e-5 <= x.min()
+        assert x.max() <= ka.maximum(d) + 1e-5
+
+
+def test_truncated_continuous_vs_truncnorm():
+    d = ka.Truncated(ka.Normal(0.0, 1.0), 0.5, 2.0)
+    f = st.truncnorm(0.5, 2.0)
+    assert np.isclose(ka.mean(d), f.mean(), rtol=1e-6)
+    assert np.isclose(ka.var(d), f.var(), rtol=1e-6)
+    assert np.isclose(ka.median(d), f.median(), rtol=1e-6)
+    assert np.isclose(ka.entropy(d), f.entropy(), rtol=1e-5)
+    assert ka.minimum(d) == 0.5 and ka.maximum(d) == 2.0
+
+
+def test_vonmises_circular_stats():
+    import scipy.special as sp
+    d = ka.VonMises(0.5, 2.0)
+    r = sp.i1(2.0) / sp.i0(2.0)
+    assert ka.mean(d) == ka.median(d) == ka.mode(d) == 0.5
+    assert np.isclose(ka.var(d), 1.0 - r, rtol=1e-7)  # circular variance
+    assert np.isclose(ka.entropy(d),
+                      np.log(2 * np.pi * sp.i0(2.0)) - 2.0 * r, rtol=1e-7)
+    assert np.isclose(ka.minimum(d), 0.5 - np.pi)
+    assert np.isclose(ka.maximum(d), 0.5 + np.pi)
+
+
+def test_modes():
+    assert ka.mode(ka.Normal(1.5, 2.0)) == 1.5
+    assert np.isclose(ka.mode(ka.Gamma(3.0, 2.0)), 4.0)
+    assert np.isclose(ka.mode(ka.Beta(3.0, 2.0)), 2.0 / 3.0)
+    assert np.isclose(ka.mode(ka.LogNormal(0.3, 0.8)),
+                      np.exp(0.3 - 0.64), rtol=1e-6)
+    assert ka.mode(ka.Exponential(2.0)) == 0.0
+    assert ka.mode(ka.Poisson(3.5)) == 3.0
+    assert ka.mode(ka.Binomial(10, 0.4)) == 4.0
+    assert ka.mode(ka.TriangularDist(0.0, 4.0, 1.0)) == 1.0
+    assert ka.mode(ka.Dirac(7.0)) == 7.0
+    # argmax atom
+    assert ka.mode(ka.DiscreteNonParametric([1.0, 2.0], [0.7, 0.3])) == 1.0
+    with pytest.raises(NotImplementedError):
+        ka.mode(ka.Beta(0.5, 0.5))
+
+
+def test_multivariate_mean_cov_entropy():
+    mu = np.array([1.0, 2.0])
+    sig = np.array([[2.0, 0.5], [0.5, 1.0]])
+    d = ka.MvNormal(mu, sig)
+    assert np.allclose(ka.mean(d), mu)
+    assert np.allclose(ka.cov(d), sig, atol=1e-6)
+    assert np.allclose(ka.var(d), np.diag(sig), atol=1e-6)
+    assert np.isclose(ka.entropy(d),
+                      st.multivariate_normal(mu, sig).entropy(), rtol=1e-6)
+
+    a = np.array([2.0, 3.0, 5.0])
+    di = ka.Dirichlet(a)
+    assert np.allclose(ka.mean(di), a / a.sum(), atol=1e-7)
+    assert np.allclose(np.diag(ka.cov(di)), st.dirichlet(a).var(),
+                       rtol=1e-6)
+
+    mn = ka.Multinomial(10, [0.2, 0.3, 0.5])
+    assert np.allclose(ka.mean(mn), [2.0, 3.0, 5.0], atol=1e-6)
+    p = np.array([0.2, 0.3, 0.5])
+    assert np.allclose(ka.cov(mn), 10 * (np.diag(p) - np.outer(p, p)),
+                       atol=1e-6)
+
+    # MvLogNormal moments vs sampling
+    ml = ka.MvLogNormal(np.array([0.1, -0.2]),
+                        np.array([[0.3, 0.1], [0.1, 0.2]]))
+    x = np.asarray(ml.sample(jax.random.key(0), (400_000,)), np.float64)
+    assert np.allclose(x.mean(0), ka.mean(ml), rtol=0.01)
+    assert np.allclose(np.cov(x.T), ka.cov(ml), rtol=0.05)
+
+    mt = ka.MvTDist(6.0, np.array([1.0, 2.0]), sig)
+    assert np.allclose(ka.mean(mt), [1.0, 2.0])
+    assert np.allclose(ka.cov(mt), 6.0 / 4.0 * sig, atol=1e-6)
+
+    w = ka.Wishart(5.0, np.eye(2))
+    assert np.allclose(ka.mean(w), 5.0 * np.eye(2), atol=1e-6)
+    iw = ka.InverseWishart(6.0, np.eye(2))
+    assert np.allclose(ka.mean(iw), np.eye(2) / 3.0, atol=1e-6)
+    assert np.allclose(ka.mean(ka.LKJ(3, 2.0)), np.eye(3))
+
+
+def test_factored_and_product_tuplewise():
+    fac = ka.Factored(ka.Uniform(0.0, 1.0), ka.Poisson(3.0))
+    assert ka.mean(fac) == (0.5, 3.0)
+    assert np.allclose(ka.var(fac), (1.0 / 12.0, 3.0))
+    assert np.isclose(ka.entropy(fac), 0.0 + st.poisson(3.0).entropy(),
+                      rtol=1e-6)
+    assert ka.minimum(fac) == (0.0, 0.0)
+    ok = ka.insupport(fac, (jnp.float32(0.5), jnp.float32(2.0)))
+    bad = ka.insupport(fac, (jnp.float32(1.5), jnp.float32(2.0)))
+    assert bool(ok) and not bool(bad)
+
+    pr = ka.Product([ka.Normal(0.0, 1.0), ka.Normal(5.0, 2.0)])
+    assert np.allclose(ka.mean(pr), [0.0, 5.0])
+    assert np.allclose(ka.cov(pr), np.diag([1.0, 4.0]), atol=1e-6)
+
+
+def test_insupport_pointwise_and_jittable():
+    assert bool(ka.insupport(ka.Beta(2.0, 2.0), 0.5))
+    assert not bool(ka.insupport(ka.Beta(2.0, 2.0), 1.5))
+    assert bool(ka.insupport(ka.Poisson(3.0), 2.0))
+    assert not bool(ka.insupport(ka.Poisson(3.0), 2.5))  # integrality
+    assert bool(ka.insupport(ka.Dirac(1.5), 1.5))
+    assert not bool(ka.insupport(ka.Dirac(1.5), 2.0))
+    d = ka.DiscreteNonParametric([0.5, 4.0], [0.5, 0.5])
+    assert bool(ka.insupport(d, 4.0)) and not bool(ka.insupport(d, 1.0))
+    # jittable over arrays
+    f = jax.jit(lambda x: ka.insupport(ka.Uniform(0.0, 1.0), x))
+    out = f(jnp.array([-0.5, 0.5, 1.5], jnp.float32))
+    assert list(np.asarray(out)) == [False, True, False]
+
+
+def test_pointwise_ccdf_logcdf_cquantile():
+    d = ka.Normal(0.0, 1.0)
+    x = np.float32(0.7)
+    assert np.isclose(float(ka.ccdf(d, x)), st.norm.sf(0.7), rtol=1e-5)
+    assert np.isclose(float(ka.logcdf(d, x)), st.norm.logcdf(0.7),
+                      rtol=1e-5)
+    assert np.isclose(float(ka.logccdf(d, x)), st.norm.logsf(0.7),
+                      rtol=1e-5)
+    assert np.isclose(float(ka.cquantile(d, np.float32(0.975))),
+                      st.norm.ppf(0.025), rtol=1e-4)
+    assert np.isclose(float(ka.quantile(d, np.float32(0.975))),
+                      st.norm.ppf(0.975), rtol=1e-4)
+    assert np.isclose(float(ka.pdf(d, x)), st.norm.pdf(0.7), rtol=1e-5)
+    assert np.isclose(float(ka.logpdf(d, x)), st.norm.logpdf(0.7),
+                      rtol=1e-5)
+    assert np.isclose(float(ka.cdf(d, x)), st.norm.cdf(0.7), rtol=1e-5)
+
+
+def test_params_and_cloud_inputs():
+    assert ka.params(ka.Normal(1.0, 2.0)) == (1.0, 2.0)
+    assert ka.params(ka.Hypergeometric(7, 5, 6)) == (7, 5, 6)
+    mu, cv = ka.params(ka.MvNormal(np.zeros(2), np.eye(2)))
+    assert np.allclose(mu, 0.0) and np.allclose(cv, np.eye(2))
+    # free functions also take Particles / arrays (Julia mean(p) idiom)
+    p = ka.Particles(np.array([1.0, 2.0, 3.0]))
+    assert ka.mean(p) == 2.0
+    assert np.isclose(ka.std(p), 1.0)
+    assert ka.median([1.0, 2.0, 9.0]) == 2.0
+
+
+def test_aliases_and_wrappers_dispatch():
+    # NormalCanon -> Normal, Erlang -> Gamma, TruncatedNormal -> Truncated
+    assert np.isclose(ka.mean(ka.NormalCanon(2.0, 4.0)), 0.5)
+    assert np.isclose(ka.mean(ka.Erlang(3, 2.0)), 6.0)
+    tn = ka.TruncatedNormal(0.0, 1.0, 0.5, 2.0)
+    assert np.isclose(ka.mean(tn), st.truncnorm(0.5, 2.0).mean(),
+                      rtol=1e-6)
+    assert np.isclose(ka.mean(ka.TDist(5.0)), 0.0)
