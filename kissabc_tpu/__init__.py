@@ -64,6 +64,7 @@ from .core.abcde import ABCDE  # noqa: F401
 from .core.pfilter import pfilter  # noqa: F401
 from .utils import checkpoint  # noqa: F401
 from .utils.logging import IterLog, trace  # noqa: F401
+from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,118 @@
+"""MCMC quality diagnostics: autocorrelation ESS and split-R-hat.
+
+Beyond-reference capability: KissABC.jl returns bare
+MonteCarloMeasurements.Particles with no convergence diagnostics (its
+AbstractMCMC driver leaves that to MCMCChains.jl). A framework meant for
+production ABC runs needs them in-box: ``ess`` is the
+autocorrelation-time effective sample size (Geyer initial monotone
+positive-sequence truncation, the Stan/ArviZ estimator, Vehtari et al.
+2021 without rank normalization) and ``rhat`` is split-R-hat (Gelman-
+Rubin with each chain split in half, so single-chain nonstationarity is
+also detected).
+
+Diagnostics are POST-PROCESSING: host-side numpy on fetched samples
+(never traced, never on device) — a few-thousand-point FFT per
+parameter is host noise next to any TPU inference run.
+
+Inputs: 1-D ``[draws]`` (one chain), 2-D ``[chains, draws]``, or a
+``Particles`` cloud (treated as one chain in emission order).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = ["ess", "rhat", "autocovariance"]
+
+
+def _as_chains(x) -> np.ndarray:
+    from ..particles import Particles
+    if isinstance(x, Particles):
+        x = x.particles
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim != 2:
+        raise ValueError(
+            "diagnostics expect [draws] or [chains, draws] samples")
+    return x
+
+
+def autocovariance(x: np.ndarray) -> np.ndarray:
+    """Biased (1/n) autocovariance of each row via FFT, lags 0..n-1."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    n = x.shape[-1]
+    xc = x - x.mean(axis=-1, keepdims=True)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(xc, nfft, axis=-1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=-1)[..., :n]
+    return acov / n
+
+
+def _split(chains: np.ndarray) -> np.ndarray:
+    """Split each chain in half (drop one trailing draw if odd)."""
+    m, n = chains.shape
+    h = n // 2
+    return np.concatenate([chains[:, :h], chains[:, h:2 * h]], axis=0)
+
+
+def ess(x, split: bool = True) -> float:
+    """Effective sample size of (possibly multi-chain) samples.
+
+    Multi-chain rho_t combines within-chain autocovariances with the
+    between-chain variance (Vehtari et al. 2021 eq. 10); the sum over
+    lags is truncated at the first negative paired sum Gamma_k =
+    rho_{2k} + rho_{2k+1} and made monotone (Geyer 1992). ``split=True``
+    (default, matching Stan) splits chains in half first.
+    """
+    chains = _as_chains(x)
+    if split and chains.shape[1] >= 4:
+        chains = _split(chains)
+    m, n = chains.shape
+    if n < 4:
+        raise ValueError("ess needs at least 4 draws")
+    acov = autocovariance(chains)
+    w_t = acov.mean(axis=0)                      # mean autocov per lag
+    var_w = (acov[:, 0] * n / (n - 1.0)).mean()  # W, unbiased
+    if var_w == 0.0:
+        return float("nan")                      # constant chains
+    if m > 1:
+        var_plus = var_w * (n - 1.0) / n + chains.mean(
+            axis=1).var(ddof=1)
+    else:
+        var_plus = var_w * (n - 1.0) / n
+    rho = 1.0 - (var_w - w_t) / var_plus
+    # Geyer initial monotone positive sequence on the paired sums
+    # Gamma_k = rho_{2k} + rho_{2k+1} (Gamma_0 = 1 + rho_1, so antithetic
+    # chains can legitimately reach tau < 1, i.e. ESS > m*n)
+    tau_sum = 0.0
+    prev = float("inf")
+    for k in range(0, (n - 1) // 2):
+        g = rho[2 * k] + rho[2 * k + 1]
+        if g < 0.0:
+            break
+        g = min(g, prev)
+        prev = g
+        tau_sum += g
+    tau = max(-1.0 + 2.0 * tau_sum, 1e-12)
+    # Stan's antithetic-chain safeguard: ESS <= S log10(S)
+    s = m * n
+    return float(min(s / tau, s * math.log10(max(s, 10))))
+
+
+def rhat(x) -> float:
+    """Split-R-hat (Gelman-Rubin with halved chains): sqrt(var+ / W).
+    ~1 at convergence; > ~1.01 signals trouble (Vehtari et al. 2021)."""
+    chains = _as_chains(x)
+    if chains.shape[1] < 4:
+        raise ValueError("rhat needs at least 4 draws")
+    chains = _split(chains)
+    m, n = chains.shape
+    w = chains.var(axis=1, ddof=1).mean()
+    if w == 0.0:
+        return float("nan")
+    b = chains.mean(axis=1).var(ddof=1)
+    var_plus = w * (n - 1.0) / n + b
+    return float(np.sqrt(var_plus / w))

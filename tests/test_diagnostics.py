@@ -1,0 +1,89 @@
+"""ESS (Geyer/Stan autocorrelation estimator) and split-R-hat —
+beyond-reference diagnostics (utils/diagnostics.py), validated against
+closed forms: iid (ESS ~ N), AR(1) (ESS/N = (1-rho)/(1+rho)), shifted
+chains (R-hat >> 1), antithetic super-efficiency, and an actual AIS run.
+"""
+
+import numpy as np
+import pytest
+
+import kissabc_tpu as ka
+from kissabc_tpu.utils.diagnostics import autocovariance, ess, rhat
+
+
+def test_iid_ess_and_rhat():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 2000))
+    e = ess(x)
+    assert 0.85 * 8000 < e <= 8000 * np.log10(8000)
+    assert e > 7000
+    assert abs(rhat(x) - 1.0) < 0.01
+
+
+def test_ar1_ess_matches_closed_form():
+    # AR(1) with coefficient rho has integrated autocorrelation time
+    # (1+rho)/(1-rho), so ESS/N = (1-rho)/(1+rho)
+    rho, n = 0.9, 200_000
+    rng = np.random.default_rng(1)
+    e = rng.standard_normal(n)
+    y = np.empty(n)
+    y[0] = e[0]
+    for t in range(1, n):
+        y[t] = rho * y[t - 1] + np.sqrt(1 - rho * rho) * e[t]
+    frac = ess(y) / n
+    expect = (1 - rho) / (1 + rho)
+    assert abs(frac - expect) < 0.25 * expect
+
+
+def test_rhat_detects_disjoint_chains():
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((1, 1000))
+    b = rng.standard_normal((1, 1000)) + 3.0
+    assert rhat(np.concatenate([a, b])) > 1.5
+    # split-rhat also catches single-chain drift
+    drift = np.linspace(0.0, 5.0, 2000) + rng.standard_normal(2000)
+    assert rhat(drift) > 1.5
+
+
+def test_antithetic_superefficiency_capped():
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal(5000)
+    anti = np.empty(10000)
+    anti[0::2], anti[1::2] = z, -z
+    e = ess(anti)
+    assert e > 10000  # super-efficient
+    assert e <= 10000 * np.log10(10000) + 1e-6  # Stan cap
+
+
+def test_degenerate_inputs():
+    assert np.isnan(ess(np.ones(100)))
+    assert np.isnan(rhat(np.ones(100)))
+    with pytest.raises(ValueError):
+        ess(np.zeros(3))
+    with pytest.raises(ValueError):
+        rhat(np.zeros((2, 3)))
+    with pytest.raises(ValueError):
+        ess(np.zeros((2, 3, 4)))
+
+
+def test_autocovariance_matches_direct():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(256)
+    acov = autocovariance(x)[0]
+    xc = x - x.mean()
+    direct = np.array([np.sum(xc[: 256 - t] * xc[t:]) / 256
+                       for t in range(8)])
+    assert np.allclose(acov[:8], direct, atol=1e-10)
+
+
+def test_on_real_ais_run_and_particles_input():
+    import jax.numpy as jnp
+    pri = ka.Normal(0.0, 1.0)
+    mdl = ka.CommonLogDensity(
+        1, lambda k: pri.sample(k), lambda x: -0.5 * x * x)
+    res = ka.sample(mdl, ka.AIS(32), 400, ntransitions=4, key=7)
+    e = ess(res)          # Particles input
+    r = rhat(res.particles)
+    n = len(res)
+    assert 0 < e <= n * np.log10(n) + 1e-6
+    assert r < 1.2  # stationary target, plenty of moves
