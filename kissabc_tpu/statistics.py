@@ -524,6 +524,10 @@ def mode(d):
 
 
 def skewness(d):
+    if isinstance(d, D.Frechet) and float(d.alpha) <= 3.0:
+        # scipy's invweibull evaluates Gamma(1 - 3/a) blindly, returning
+        # a finite number even though the 3rd moment diverges for a <= 3
+        return np.inf
     if isinstance(d, D.Affine):
         return math.copysign(1.0, float(d.scale)) * skewness(d.base)
     if isinstance(d, (D._PolyKernel, D.SymTriangularDist, D.Cosine,
@@ -543,6 +547,10 @@ def skewness(d):
 
 def kurtosis(d):
     """EXCESS kurtosis (Distributions.jl and scipy convention)."""
+    if isinstance(d, D.Frechet) and float(d.alpha) <= 4.0:
+        # see skewness: the 4th moment diverges for a <= 4 but scipy's
+        # invweibull formula returns a finite value anyway
+        return np.inf
     if isinstance(d, D.Affine):
         return kurtosis(d.base)
     if isinstance(d, D.Dirac):

@@ -125,3 +125,32 @@ def test_discrete_consistency(d):
     # push policy: float-evolved values snap back onto the support dtype
     pushed = d.push(jnp.asarray(x, jnp.float32) + 0.3)
     assert pushed.dtype == jnp.int32
+
+
+@pytest.mark.parametrize("d", CONTINUOUS + DISCRETE, ids=lambda d: repr(d))
+def test_declared_moments_match_empirical(d):
+    """ka.mean/ka.var/ka.kurtosis (statistics.py) vs this battery's own
+    samplers — a registry/convention error in either leg fails here."""
+    n = 8000
+    x = np.asarray(d.sample(KEY, (n,)), np.float64)
+    try:
+        m, v = ka.mean(d), ka.var(d)
+    except NotImplementedError:
+        pytest.skip("no declared moments")
+    if not (np.isfinite(m) and np.isfinite(v)):
+        pytest.skip("undefined moments (heavy tail)")
+    se = np.sqrt(v / n)
+    assert abs(x.mean() - m) < 6.0 * se + 1e-9, (
+        f"{d!r}: mean {x.mean()} vs declared {m}")
+    if v <= 0:
+        return
+    try:
+        k = ka.kurtosis(d)
+    except NotImplementedError:
+        return
+    if np.isfinite(k) and k < 50:
+        # relative sampling error of the std estimate ~ sqrt((k+2)/4n)
+        tol = 6.0 * np.sqrt((k + 2.0) / (4.0 * n)) + 0.01
+        rel = abs(x.std(ddof=1) - np.sqrt(v)) / np.sqrt(v)
+        assert rel < tol, (
+            f"{d!r}: std {x.std(ddof=1)} vs declared {np.sqrt(v)}")

@@ -50,7 +50,10 @@ TWIN_CASES = [
     (ka.Cosine(1.0, 2.0), st.cosine(loc=1.0, scale=2.0 / np.pi)),
     (ka.Arcsine(1.0, 3.0), st.arcsine(loc=1.0, scale=2.0)),
     (ka.Semicircle(2.0), st.semicircular(scale=2.0)),
-    (ka.Frechet(3.0, 2.0), st.invweibull(3.0, scale=2.0)),
+    # alpha=5: ALL four moments exist, so scipy's blind Gamma formulas
+    # are valid (for alpha<=4 scipy lies about kurtosis; statistics.py
+    # guards that — see test_frechet_divergent_moments)
+    (ka.Frechet(5.0, 2.0), st.invweibull(5.0, scale=2.0)),
     (ka.LogUniform(0.5, 4.0), st.loguniform(0.5, 4.0)),
     (ka.JohnsonSU(0.5, 2.0, 0.3, 1.5),
      st.johnsonsu(0.3, 1.5, loc=0.5, scale=2.0)),
@@ -126,6 +129,16 @@ def test_override_families_empirical_moments():
             name, x.std(ddof=1), s)
         assert ka.minimum(d) - 1e-5 <= x.min()
         assert x.max() <= ka.maximum(d) + 1e-5
+
+
+def test_frechet_divergent_moments():
+    # 3rd moment diverges for alpha <= 3, 4th for alpha <= 4 — scipy's
+    # invweibull returns finite garbage there; ours must return inf
+    assert ka.skewness(ka.Frechet(2.5, 1.0)) == np.inf
+    assert ka.kurtosis(ka.Frechet(2.5, 1.0)) == np.inf
+    assert ka.kurtosis(ka.Frechet(3.5, 1.0)) == np.inf
+    assert np.isfinite(ka.skewness(ka.Frechet(3.5, 1.0)))
+    assert np.isfinite(ka.kurtosis(ka.Frechet(4.5, 1.0)))
 
 
 def test_truncated_continuous_vs_truncnorm():
