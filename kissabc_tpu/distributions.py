@@ -332,6 +332,9 @@ class StudentT(Distribution):
         object.__setattr__(self, "_lnorm", _f32(
             sps.gammaln((nu + 1) / 2) - sps.gammaln(nu / 2)
             - 0.5 * np.log(nu * np.pi)))
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_qhi", float(_st.t(nu).ppf(1.0 - 1e-7)))
 
     def sample(self, key, shape=()):
         return jax.random.t(key, self.nu, shape)
@@ -339,6 +342,16 @@ class StudentT(Distribution):
     def logpdf(self, x):
         nu = self.nu
         return self._lnorm - (nu + 1) / 2 * jnp.log1p(x * x / nu)
+
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        # F(t) = 1 - I_{nu/(nu+t^2)}(nu/2, 1/2) / 2 for t >= 0, symmetric
+        z = self.nu / (self.nu + x * x)
+        tail = np.float32(0.5) * betainc(self.nu / 2, np.float32(0.5), z)
+        return jnp.where(x >= 0, 1.0 - tail, tail)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, -self._qhi, self._qhi, q)
 
 
 # Distributions.jl's name for the standard Student t (re-export parity,
@@ -409,6 +422,9 @@ class FDist(Distribution):
         n1, n2 = float(self.nu1), float(self.nu2)
         object.__setattr__(self, "_lnorm", _f32(
             sps.betaln(n1 / 2, n2 / 2) - (n1 / 2) * np.log(n1 / n2)))
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_qhi", float(_st.f(n1, n2).ppf(1.0 - 1e-7)))
 
     def sample(self, key, shape=()):
         return jax.random.f(key, self.nu1, self.nu2, shape)
@@ -426,6 +442,9 @@ class FDist(Distribution):
         xs = jnp.maximum(x, 0.0)
         z = self.nu1 * xs / (self.nu1 * xs + self.nu2)
         return betainc(self.nu1 / 2, self.nu2 / 2, z)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
 
 
 @dist("mu", "theta")
@@ -507,6 +526,9 @@ class InverseGamma(Distribution):
         a, t = float(self.alpha), float(self.theta)
         object.__setattr__(self, "_lnorm", _f32(
             sps.gammaln(a) - a * np.log(t)))
+        from scipy import stats as _st
+        object.__setattr__(
+            self, "_qhi", float(_st.invgamma(a, scale=t).ppf(1.0 - 1e-7)))
 
     def sample(self, key, shape=()):
         return self.theta / jax.random.gamma(key, self.alpha, shape)
@@ -521,6 +543,9 @@ class InverseGamma(Distribution):
         from jax.scipy.special import gammaincc
         xs = jnp.maximum(x, np.float32(1e-37))
         return gammaincc(self.alpha, self.theta / xs)
+
+    def quantile(self, q):
+        return _bisect_quantile(self.cdf, 0.0, self._qhi, q)
 
 
 @dist("mu", "theta")
@@ -879,6 +904,26 @@ class VonMises(Distribution):
                          self.kappa * jnp.cos(x - self.mu) - self._lnorm,
                          _NEG_INF)
 
+    def quantile(self, q):
+        # same linear interpolation into the host ppf table as sample()
+        t = jnp.asarray(q, jnp.float32) * np.float32(self._TAB - 1)
+        i = jnp.clip(t.astype(jnp.int32), 0, self._TAB - 2)
+        f = t - i
+        lo = jnp.take(self._tab, i)
+        hi = jnp.take(self._tab, i + 1)
+        return lo + f * (hi - lo)
+
+    def cdf(self, x):
+        # inverse of the monotone table (searchsorted + linear interp)
+        xf = jnp.asarray(x, jnp.float32)
+        xc = jnp.clip(xf, self._tab[0], self._tab[-1])
+        i = jnp.clip(jnp.searchsorted(self._tab, xc, side="right") - 1,
+                     0, self._TAB - 2)
+        lo = jnp.take(self._tab, i)
+        hi = jnp.take(self._tab, i + 1)
+        f = jnp.where(hi > lo, (xc - lo) / (hi - lo), 0.0)
+        return (i + f) / np.float32(self._TAB - 1)
+
     def __repr__(self):
         return f"VonMises(mu={self.mu}, kappa={self.kappa})"
 
@@ -1126,6 +1171,13 @@ def _host_cdf(base: Distribution, x: float) -> float:
     if isinstance(base, Beta):
         return float(sps.betainc(base.alpha, base.beta,
                                  min(max(x, 0.0), 1.0)))
+    # general case: the scipy twin registry (statistics.py) covers every
+    # univariate family — Distributions.jl's truncated() works on all of
+    # them, so ours must too (lazy import: statistics imports this module)
+    from .statistics import _twin
+    t = _twin(base)
+    if t is not None and getattr(base, "event_dim", 0) == 0:
+        return float(t.cdf(x))
     raise TypeError(f"Truncated: no host cdf for {type(base).__name__}")
 
 
@@ -1148,6 +1200,10 @@ def _host_sf(base: Distribution, x: float) -> float:
     if isinstance(base, Beta):
         return float(1.0 - sps.betainc(base.alpha, base.beta,
                                        min(max(x, 0.0), 1.0)))
+    from .statistics import _twin
+    t = _twin(base)
+    if t is not None and getattr(base, "event_dim", 0) == 0:
+        return float(t.sf(x))
     raise TypeError(f"Truncated: no host sf for {type(base).__name__}")
 
 
@@ -1279,6 +1335,10 @@ class Truncated(Distribution):
         return object.__new__(cls)
 
     def __init__(self, base, lo, hi):
+        if not hasattr(base, "quantile"):
+            raise TypeError(
+                f"Truncated({type(base).__name__}, ...): the base needs a "
+                "device-side quantile for inverse-cdf window sampling")
         object.__setattr__(self, "base", base)
         object.__setattr__(self, "lo", _f32(lo))
         object.__setattr__(self, "hi", _f32(hi))

@@ -65,6 +65,14 @@ CONTINUOUS = [
     ka.Lindley(1.5),
     ka.LogitNormal(0.5, 1.2),
     ka.NoncentralChisq(3.0, 4.0),
+    ka.StudentT(4.0),  # gained cdf/quantile legs (bisection) in r2
+    ka.VonMises(0.5, 2.0),  # table-interp cdf/quantile
+    # Truncated over general bases (host normalizer via the scipy-twin
+    # registry) — Distributions.jl truncated() works on everything
+    ka.Truncated(ka.Cauchy(0.0, 1.0), -2.0, 3.0),
+    ka.Truncated(ka.Weibull(2.0, 1.5), 0.5, 2.5),
+    ka.Truncated(ka.StudentT(4.0), -1.5, 1.5),
+    ka.Truncated(ka.InverseGamma(3.0, 2.0), 0.3, 1.5),
 ]
 
 DISCRETE = [

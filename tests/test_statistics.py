@@ -289,3 +289,41 @@ def test_aliases_and_wrappers_dispatch():
     assert np.isclose(ka.mean(tn), st.truncnorm(0.5, 2.0).mean(),
                       rtol=1e-6)
     assert np.isclose(ka.mean(ka.TDist(5.0)), 0.0)
+
+
+def test_truncated_general_bases():
+    """r2: Truncated's host normalizer falls back to the scipy-twin
+    registry, so truncated() now works over (nearly) every continuous
+    family, like Distributions.jl."""
+    cases = [
+        (ka.Truncated(ka.Cauchy(0.0, 1.0), -2.0, 3.0),
+         st.cauchy(0, 1), -2.0, 3.0),
+        (ka.Truncated(ka.Gumbel(0.0, 1.0), -1.0, 2.0),
+         st.gumbel_r(0, 1), -1.0, 2.0),
+        (ka.Truncated(ka.StudentT(4.0), -1.5, 1.5), st.t(4.0), -1.5, 1.5),
+        (ka.Truncated(ka.FDist(5.0, 9.0), 0.5, 3.0),
+         st.f(5.0, 9.0), 0.5, 3.0),
+    ]
+    from scipy.integrate import quad
+    for d, f, lo, hi in cases:
+        mass = f.cdf(hi) - f.cdf(lo)
+        mid = 0.5 * (lo + hi)
+        assert np.isclose(float(d.logpdf(np.float32(mid))),
+                          f.logpdf(mid) - np.log(mass), rtol=1e-4)
+        m = quad(lambda v: v * f.pdf(v), lo, hi)[0] / mass
+        assert np.isclose(ka.mean(d), m, rtol=1e-5)
+        x = np.asarray(d.sample(jax.random.key(5), (20000,)))
+        assert lo - 1e-5 <= x.min() and x.max() <= hi + 1e-5
+        assert abs(x.mean() - m) < 5 * x.std() / np.sqrt(x.size)
+
+
+def test_new_cdf_quantile_legs_vs_scipy():
+    # StudentT/FDist/InverseGamma/VonMises gained cdf and/or quantile
+    for d, f in [(ka.StudentT(4.0), st.t(4.0)),
+                 (ka.FDist(5.0, 9.0), st.f(5.0, 9.0)),
+                 (ka.InverseGamma(3.0, 2.0), st.invgamma(3.0, scale=2.0)),
+                 (ka.VonMises(0.5, 2.0), st.vonmises(2.0, loc=0.5))]:
+        qs = np.asarray([0.1, 0.35, 0.6, 0.9], np.float32)
+        xs = np.asarray(f.ppf(qs), np.float32)
+        assert np.allclose(np.asarray(d.cdf(xs)), qs, atol=2e-5)
+        assert np.allclose(np.asarray(d.quantile(qs)), xs, atol=2e-4)
