@@ -175,7 +175,7 @@ def _sequential_transition(model, key, thetas, lds, i):
 
 def make_sequential_run(model, sampler: AIS, ns: int, *,
                         ntransitions: int = 1, discard_initial: int = 0,
-                        retry_sampling: int = 100):
+                        retry_sampling: int = 100, thinning: int = 1):
     """The reference's literal sampling loop (KissABC.jl:66-80): one
     recorded sample per step, walker cursor round-robin, ``ntransitions``
     single-walker moves between records, partners from the LIVE ensemble.
@@ -187,7 +187,9 @@ def make_sequential_run(model, sampler: AIS, ns: int, *,
         raise ValueError(
             f"nparticles = {n} is insufficient, set number of particles in "
             f"AIS(.) at least to {model.nparams + 5}")
-    total = discard_initial + ns
+    if thinning < 1:
+        raise ValueError("thinning must be >= 1")
+    total = discard_initial + ns * thinning
 
     def run(key):
         kinit, kloop = jax.random.split(key)
@@ -210,7 +212,10 @@ def make_sequential_run(model, sampler: AIS, ns: int, *,
         (_, _, _), emits = jax.lax.scan(
             step, (thetas, lds, jnp.int32(0)),
             jax.random.split(kloop, total))
-        flat = jax.tree_util.tree_map(lambda x: x[discard_initial:], emits)
+        # AbstractMCMC `thinning`: after the discard, keep the LAST step
+        # of each group of `thinning`
+        flat = jax.tree_util.tree_map(
+            lambda x: x[discard_initial + thinning - 1::thinning], emits)
         return flat, valid
 
     return run
@@ -223,7 +228,7 @@ def make_sequential_run(model, sampler: AIS, ns: int, *,
 def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
              discard_initial: int = 0, retry_sampling: int = 100,
              kernel=mixture_one, mesh=None, partner_scheme="auto",
-             progress: bool = False):
+             progress: bool = False, thinning: int = 1):
     """Build the jittable end-to-end AIS program ``run(key) -> (samples
     [blocks*n, ...], valid [n])``. Shared by the single-chain driver, the
     vmapped multi-chain driver, and the benchmarks."""
@@ -237,8 +242,13 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                        constrain=constrainer(mesh, "walker"),
                        partner_scheme=partner_scheme)
 
+    if thinning < 1:
+        raise ValueError("thinning must be >= 1")
     burn_sweeps = max(0, math.ceil(discard_initial * ntransitions / n))
     blocks = max(1, math.ceil(ns / n))
+    # AbstractMCMC's `thinning` kwarg (save every t-th step): in block
+    # semantics that is t * ntransitions sweeps per emitted block
+    sweeps_per_block = ntransitions * thinning
 
     def run(key):
         kinit, kburn, krun = jax.random.split(key, 3)
@@ -256,12 +266,12 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
         def block(carry, kb):
             th, ld, bi = carry
             (th, ld), _ = jax.lax.scan(
-                do_sweep, (th, ld), jax.random.split(kb, ntransitions))
+                do_sweep, (th, ld), jax.random.split(kb, sweeps_per_block))
             emit = jax.vmap(model.push)(th)
             if progress:
                 jax.debug.print(
                     "AIS block {b}/{nb} ({sw} sweeps each)",
-                    b=bi + 1, nb=blocks, sw=ntransitions)
+                    b=bi + 1, nb=blocks, sw=sweeps_per_block)
             return (th, ld, bi + 1), emit
 
         (thetas, lds, _), emits = jax.lax.scan(
@@ -278,7 +288,8 @@ def make_run(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
 def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                discard_initial: int = 0, retry_sampling: int = 100,
                key=0, kernel=mixture_one, mesh=None, progress: bool = False,
-               partner_scheme="auto", schedule: str = "red_black"):
+               partner_scheme="auto", schedule: str = "red_black",
+               thinning: int = 1):
     """Run AIS and return (pushed sample pytree with leading axis [ns],
     valid_mask) — the array-level API under ``sample``.
 
@@ -299,13 +310,14 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                 "drop them or use the default red_black schedule")
         run = make_sequential_run(
             model, sampler, ns, ntransitions=ntransitions,
-            discard_initial=discard_initial, retry_sampling=retry_sampling)
+            discard_initial=discard_initial, retry_sampling=retry_sampling,
+            thinning=thinning)
     elif schedule == "red_black":
         run = make_run(model, sampler, ns, ntransitions=ntransitions,
                        discard_initial=discard_initial,
                        retry_sampling=retry_sampling, kernel=kernel,
                        mesh=mesh, partner_scheme=partner_scheme,
-                       progress=progress)
+                       progress=progress, thinning=thinning)
     else:
         raise ValueError(
             f"schedule must be 'red_black' or 'sequential', got {schedule!r}")
@@ -322,7 +334,7 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
            discard_initial: int = 0, retry_sampling: int = 100,
            chains: int | None = None, key=0, progress: bool = False,
            kernel=mixture_one, mesh=None, partner_scheme="auto",
-           schedule: str = "red_black"):
+           schedule: str = "red_black", thinning: int = 1):
     """KissABC-style entry point: returns per-dimension ``Particles``
     (unwrapped when one-dimensional), like bundle_samples
     (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
@@ -330,13 +342,18 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     ``make_mesh(chain=..., walker=...)`` the chain axis shards via the
     vmapped dimension and the walker axis via in-run sharding
     constraints. ``progress=True`` prints per-block progress from inside
-    the compiled loop (the reference's AbstractMCMC progress knob)."""
+    the compiled loop (the reference's AbstractMCMC progress knob).
+    ``thinning=t`` keeps every t-th step (AbstractMCMC's thinning kwarg,
+    available on the reference's re-exported sample): t * ntransitions
+    sweeps per emitted block in red/black mode, the last of every t
+    recorded steps in sequential mode."""
     if chains is None:
         flat, _ = sample_raw(
             model, sampler, ns, ntransitions=ntransitions,
             discard_initial=discard_initial, retry_sampling=retry_sampling,
             key=key, kernel=kernel, mesh=mesh, progress=progress,
-            partner_scheme=partner_scheme, schedule=schedule)
+            partner_scheme=partner_scheme, schedule=schedule,
+            thinning=thinning)
         return particles_from_tree(flat)
     if schedule != "red_black":
         raise ValueError(
@@ -353,7 +370,7 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
                    discard_initial=discard_initial,
                    retry_sampling=retry_sampling, kernel=kernel,
                    mesh=mesh if walker_mesh else None,
-                   partner_scheme=partner_scheme)
+                   partner_scheme=partner_scheme, thinning=thinning)
     # spmd_axis_name lets the in-run walker constraints compose with the
     # vmapped chain axis being sharded over the mesh 'chain' axis
     vrun = jax.vmap(run, spmd_axis_name="chain") if chain_mesh \

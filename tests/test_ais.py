@@ -126,3 +126,35 @@ def test_sequential_schedule_exact_reference_semantics():
     assert res.std() < 0.05  # posterior is the tiny ABC band around 1.5
     with pytest.raises(ValueError):
         ka.sample(plan, ka.AIS(12), 10, schedule="zigzag")
+
+
+def test_thinning_reduces_autocorrelation():
+    """AbstractMCMC's `thinning` kwarg (the reference's re-exported
+    sample supports it): per-walker chains must carry more effective
+    samples per recorded draw when thinned."""
+    import numpy as np
+    from kissabc_tpu.utils.diagnostics import ess
+    pri = ka.Normal(0.0, 1.0)
+    mdl = ka.CommonLogDensity(
+        1, lambda k: pri.sample(k), lambda x: -0.5 * x * x)
+    n, ns = 16, 640  # blocks = 40 per walker
+
+    def walker_chains(thinning):
+        flat, _ = ka.sample_raw(mdl, ka.AIS(n), ns, ntransitions=1,
+                                thinning=thinning, key=3)
+        x = np.asarray(flat, np.float64)  # [blocks*n] block-major
+        return x.reshape(-1, n).T         # [n walkers, blocks]
+
+    e8 = ess(walker_chains(8))
+    e1 = ess(walker_chains(1))
+    assert e8 > 1.5 * e1, (e8, e1)
+    # both still target N(0, 1)
+    a = ka.sample(mdl, ka.AIS(n), ns, ntransitions=1, thinning=8, key=3)
+    assert a.approx(0.0, atol=0.2) and abs(a.std() - 1.0) < 0.25
+    # sequential mode budget: total steps = discard + ns*thinning
+    c = ka.sample(mdl, ka.AIS(8), 12, schedule="sequential", thinning=3,
+                  discard_initial=4, key=4)
+    assert len(c) == 12
+    import pytest
+    with pytest.raises(ValueError):
+        ka.sample(mdl, ka.AIS(8), 10, thinning=0)
