@@ -53,6 +53,7 @@ from .statistics import (  # noqa: F401
     mean, var, std, median, mode, skewness, kurtosis, entropy,
     minimum, maximum, insupport, cov, params,
     cdf, ccdf, logcdf, logccdf, pdf, logpdf, quantile, cquantile,
+    fit, fit_mle,
 )
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,

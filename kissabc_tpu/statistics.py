@@ -37,7 +37,7 @@ __all__ = [
     "mean", "var", "std", "median", "mode", "skewness", "kurtosis",
     "entropy", "minimum", "maximum", "insupport", "cov", "params",
     "cdf", "ccdf", "logcdf", "logccdf", "pdf", "logpdf",
-    "quantile", "cquantile",
+    "quantile", "cquantile", "fit", "fit_mle",
 ]
 
 
@@ -767,3 +767,75 @@ def quantile(d, q):
 def cquantile(d, q):
     """quantile(d, 1 - q) (Distributions.jl ``cquantile``)."""
     return d.quantile(1.0 - jnp.asarray(q, jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# fit / fit_mle (Distributions.jl's `fit(D, x)` — host-side MLE)
+# --------------------------------------------------------------------------
+
+def fit_mle(cls, x):
+    """Maximum-likelihood fit of family ``cls`` to samples ``x`` —
+    Distributions.jl's ``fit_mle(D, x)`` (re-exported surface,
+    ``/root/reference/src/KissABC.jl:13-14``). Returns a distribution
+    instance. Host-side (numpy/scipy): closed forms where they exist,
+    scipy's numeric MLE otherwise."""
+    from scipy import stats as st
+    x = np.asarray(x, np.float64).reshape(
+        -1) if cls is not D.MvNormal else np.asarray(x, np.float64)
+    if cls is D.Normal:
+        return D.Normal(x.mean(), x.std())
+    if cls is D.LogNormal:
+        lx = np.log(x)
+        return D.LogNormal(lx.mean(), lx.std())
+    if cls is D.Exponential:
+        return D.Exponential(x.mean())
+    if cls is D.Uniform:
+        return D.Uniform(x.min(), x.max())
+    if cls is D.Laplace:
+        mu = np.median(x)
+        return D.Laplace(mu, np.abs(x - mu).mean())
+    if cls is D.Rayleigh:
+        return D.Rayleigh(np.sqrt(0.5 * (x * x).mean()))
+    if cls is D.Pareto:
+        theta = x.min()
+        return D.Pareto(x.size / np.sum(np.log(x / theta)), theta)
+    if cls is D.Poisson:
+        return D.Poisson(x.mean())
+    if cls is D.Bernoulli:
+        return D.Bernoulli(x.mean())
+    if cls is D.Geometric:
+        return D.Geometric(1.0 / (1.0 + x.mean()))
+    if cls is D.Categorical:
+        k = int(x.max()) + 1
+        return D.Categorical(np.bincount(x.astype(np.int64),
+                                         minlength=k) / x.size)
+    if cls is D.Gamma:
+        a, _, scale = st.gamma.fit(x, floc=0.0)
+        return D.Gamma(a, scale)
+    if cls is D.Weibull:
+        c, _, scale = st.weibull_min.fit(x, floc=0.0)
+        return D.Weibull(c, scale)
+    if cls is D.Beta:
+        a, b, _, _ = st.beta.fit(x, floc=0.0, fscale=1.0)
+        return D.Beta(a, b)
+    if cls is D.Cauchy:
+        loc, scale = st.cauchy.fit(x)
+        return D.Cauchy(loc, scale)
+    if cls is D.Logistic:
+        loc, scale = st.logistic.fit(x)
+        return D.Logistic(loc, scale)
+    if cls is D.Gumbel:
+        loc, scale = st.gumbel_r.fit(x)
+        return D.Gumbel(loc, scale)
+    if cls is D.InverseGaussian:
+        mu = x.mean()
+        lam = 1.0 / np.mean(1.0 / x - 1.0 / mu)
+        return D.InverseGaussian(mu, lam)
+    if cls is D.MvNormal:
+        if x.ndim != 2:
+            raise ValueError("fit_mle(MvNormal, x) needs [n, d] samples")
+        return D.MvNormal(x.mean(axis=0), np.cov(x.T, ddof=0))
+    raise NotImplementedError(f"fit_mle({cls.__name__})")
+
+
+fit = fit_mle  # Distributions.jl's `fit` falls back to fit_mle

@@ -327,3 +327,54 @@ def test_new_cdf_quantile_legs_vs_scipy():
         xs = np.asarray(f.ppf(qs), np.float32)
         assert np.allclose(np.asarray(d.cdf(xs)), qs, atol=2e-5)
         assert np.allclose(np.asarray(d.quantile(qs)), xs, atol=2e-4)
+
+
+def test_fit_mle_recovers_parameters():
+    """Distributions.jl fit/fit_mle: parameters recovered from large
+    samples of each supported family (closed forms + scipy numeric MLE).
+    """
+    key = jax.random.key(0)
+    cases = [
+        (ka.Normal, ka.Normal(1.5, 2.0), [("mu", 1.5), ("sigma", 2.0)]),
+        (ka.LogNormal, ka.LogNormal(0.3, 0.8),
+         [("mu", 0.3), ("sigma", 0.8)]),
+        (ka.Exponential, ka.Exponential(2.5), [("theta", 2.5)]),
+        (ka.Laplace, ka.Laplace(1.0, 2.0), [("mu", 1.0), ("sigma", 2.0)]),
+        (ka.Rayleigh, ka.Rayleigh(1.5), [("sigma", 1.5)]),
+        (ka.Pareto, ka.Pareto(3.0, 2.0), [("alpha", 3.0), ("theta", 2.0)]),
+        (ka.Poisson, ka.Poisson(4.0), [("lam", 4.0)]),
+        (ka.Bernoulli, ka.Bernoulli(0.3), [("p", 0.3)]),
+        (ka.Geometric, ka.Geometric(0.35), [("p", 0.35)]),
+        (ka.Gamma, ka.Gamma(2.5, 1.7), [("alpha", 2.5), ("theta", 1.7)]),
+        (ka.Weibull, ka.Weibull(2.0, 1.5),
+         [("alpha", 2.0), ("theta", 1.5)]),
+        (ka.Beta, ka.Beta(2.0, 5.0), [("alpha", 2.0), ("beta", 5.0)]),
+        (ka.Gumbel, ka.Gumbel(0.5, 2.0), [("mu", 0.5), ("theta", 2.0)]),
+        (ka.InverseGaussian, ka.InverseGaussian(2.0, 3.0),
+         [("mu", 2.0), ("lam", 3.0)]),
+    ]
+    for cls, d, ps in cases:
+        x = np.asarray(d.sample(key, (60_000,)))
+        f = ka.fit(cls, x)
+        for name, val in ps:
+            got = float(getattr(f, name))
+            assert abs(got - val) < 0.08 * max(abs(val), 1.0) + 0.02, (
+                cls.__name__, name, got, val)
+
+    mv = ka.MvNormal(np.array([1.0, 2.0]),
+                     np.array([[2.0, 0.5], [0.5, 1.0]]))
+    f = ka.fit_mle(ka.MvNormal, np.asarray(mv.sample(key, (100_000,))))
+    assert np.allclose(f.mean, [1.0, 2.0], atol=0.03)
+    assert np.allclose(np.asarray(f.cov),
+                       [[2.0, 0.5], [0.5, 1.0]], atol=0.06)
+
+    cat = ka.fit(ka.Categorical, np.asarray(
+        ka.Categorical([0.2, 0.5, 0.3]).sample(key, (60_000,))))
+    assert np.allclose(cat.p, [0.2, 0.5, 0.3], atol=0.015)
+
+    uni = ka.fit(ka.Uniform, np.asarray(
+        ka.Uniform(-1.0, 3.0).sample(key, (60_000,))))
+    assert abs(float(uni.a) + 1.0) < 0.01 and abs(float(uni.b) - 3.0) < 0.01
+
+    with pytest.raises(NotImplementedError):
+        ka.fit(ka.Wishart, np.zeros((10, 2, 2)))
