@@ -54,6 +54,7 @@ from .statistics import (  # noqa: F401
     minimum, maximum, insupport, cov, params,
     cdf, ccdf, logcdf, logccdf, pdf, logpdf, quantile, cquantile,
     fit, fit_mle,
+    support, truncated, product_distribution, cor, loglikelihood, rand,
 )
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,

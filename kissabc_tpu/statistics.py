@@ -38,6 +38,8 @@ __all__ = [
     "entropy", "minimum", "maximum", "insupport", "cov", "params",
     "cdf", "ccdf", "logcdf", "logccdf", "pdf", "logpdf",
     "quantile", "cquantile", "fit", "fit_mle",
+    "support", "truncated", "product_distribution", "cor",
+    "loglikelihood", "rand",
 ]
 
 
@@ -839,3 +841,69 @@ def fit_mle(cls, x):
 
 
 fit = fit_mle  # Distributions.jl's `fit` falls back to fit_mle
+
+
+# --------------------------------------------------------------------------
+# remaining Distributions.jl conveniences
+# --------------------------------------------------------------------------
+
+def support(d):
+    """Distributions.jl ``support(d)`` — the (minimum, maximum) pair."""
+    return (minimum(d), maximum(d))
+
+
+def truncated(d, lo=None, hi=None, *, lower=None, upper=None):
+    """Distributions.jl's modern ``truncated(d; lower, upper)`` keyword
+    API (positional lo/hi also accepted). Missing sides are unbounded."""
+    if lower is not None:
+        lo = lower
+    if upper is not None:
+        hi = upper
+    lo = -np.inf if lo is None else lo
+    hi = np.inf if hi is None else hi
+    return D.Truncated(d, lo, hi)
+
+
+def product_distribution(dists):
+    """Distributions.jl ``product_distribution([...])`` — homogeneous
+    marginals give a vector-valued Product; mixed continuous/discrete
+    packs fall back to the tuple-tree Factored."""
+    dists = list(dists)
+    if len({bool(m.discrete) for m in dists}) == 1:
+        return D.Product(dists)
+    return D.Factored(*dists)
+
+
+def cor(d):
+    """Correlation matrix of a vector-variate distribution
+    (Distributions.jl ``cor``)."""
+    c = np.asarray(cov(d), np.float64)
+    s = np.sqrt(np.diag(c))
+    return c / np.outer(s, s)
+
+
+def loglikelihood(d, x):
+    """Distributions.jl ``loglikelihood(d, x)``: sum of logpdf over the
+    observation axis (jnp, jittable)."""
+    return jnp.sum(d.logpdf(x))
+
+
+def rand(d, shape=(), *, key=0):
+    """Julia-style ``rand(d, n)`` convenience: draws from ``d`` with an
+    integer seed or explicit PRNG key. ``shape`` may be an int or a
+    tuple. The engine API (explicit key flow) is ``d.sample(key, shape)``
+    — use that inside jitted code; ``rand`` is for host-side scripting
+    parity with the reference."""
+    import jax
+    if isinstance(shape, int):
+        shape = (shape,)
+    k = (jax.random.key(int(key))
+         if isinstance(key, (int, np.integer)) else key)
+    if isinstance(d, D.Factored):
+        if shape != ():
+            ks = jax.random.split(k, int(np.prod(shape)))
+            draws = jax.vmap(d.sample_tree)(ks)
+            return jax.tree_util.tree_map(
+                lambda v: v.reshape(shape + v.shape[1:]), draws)
+        return d.sample_tree(k)
+    return d.sample(k, shape)

@@ -378,3 +378,28 @@ def test_fit_mle_recovers_parameters():
 
     with pytest.raises(NotImplementedError):
         ka.fit(ka.Wishart, np.zeros((10, 2, 2)))
+
+
+def test_convenience_functions():
+    """truncated()/support/product_distribution/cor/loglikelihood/rand —
+    the remaining Distributions.jl conveniences."""
+    assert ka.support(ka.Beta(2.0, 3.0)) == (0.0, 1.0)
+    t = ka.truncated(ka.Normal(0.0, 1.0), lower=0.5)
+    assert float(t.lo) == 0.5 and ka.maximum(t) == np.inf
+    assert type(ka.truncated(ka.Poisson(3.0), 1, 5)).__name__ == \
+        "TruncatedDiscrete"
+    assert isinstance(
+        ka.product_distribution([ka.Normal(0, 1), ka.Normal(2, 3)]),
+        ka.Product)
+    assert isinstance(
+        ka.product_distribution([ka.Normal(0, 1), ka.Poisson(2.0)]),
+        ka.Factored)
+    mv = ka.MvNormal(np.zeros(2), np.array([[4.0, 1.0], [1.0, 1.0]]))
+    assert np.allclose(ka.cor(mv), [[1.0, 0.5], [0.5, 1.0]], atol=1e-6)
+    xs = np.asarray([0.5, -0.3], np.float32)
+    assert np.isclose(float(ka.loglikelihood(ka.Normal(0.0, 1.0), xs)),
+                      st.norm.logpdf(xs).sum(), rtol=1e-5)
+    assert ka.rand(ka.Normal(0.0, 1.0), 5, key=2).shape == (5,)
+    tup = ka.rand(ka.Factored(ka.Uniform(0, 1), ka.Poisson(3.0)), 4,
+                  key=1)
+    assert tup[0].shape == (4,) and str(tup[1].dtype) == "int32"
