@@ -348,7 +348,7 @@ class StudentT(Distribution):
         # F(t) = 1 - I_{nu/(nu+t^2)}(nu/2, 1/2) / 2 for t >= 0, symmetric
         z = self.nu / (self.nu + x * x)
         tail = np.float32(0.5) * betainc(self.nu / 2, np.float32(0.5), z)
-        return jnp.where(x >= 0, 1.0 - tail, tail)
+        return jnp.where(x >= 0, np.float32(1.0) - tail, tail)
 
     def quantile(self, q):
         return _bisect_quantile(self.cdf, -self._qhi, self._qhi, q)
@@ -921,7 +921,7 @@ class VonMises(Distribution):
                      0, self._TAB - 2)
         lo = jnp.take(self._tab, i)
         hi = jnp.take(self._tab, i + 1)
-        f = jnp.where(hi > lo, (xc - lo) / (hi - lo), 0.0)
+        f = jnp.where(hi > lo, (xc - lo) / (hi - lo), np.float32(0.0))
         return (i + f) / np.float32(self._TAB - 1)
 
     def __repr__(self):

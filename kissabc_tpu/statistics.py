@@ -126,6 +126,11 @@ def _twin(d):
     if isinstance(d, D.Rician):
         sg = float(d.sigma)
         return st.rice(float(d.nu) / sg, scale=sg)
+    if isinstance(d, D.VonMises):
+        # NOTE: mean/var/median/mode/entropy/min/max have explicit
+        # circular overrides that shadow this twin; it serves the
+        # Truncated host-normalizer and remaining twin-backed stats
+        return st.vonmises(float(d.kappa), loc=float(d.mu))
     if isinstance(d, D.Categorical):
         p = np.asarray(d.p, np.float64)
         return st.rv_discrete(values=(np.arange(p.shape[0]), p / p.sum()))
@@ -208,8 +213,13 @@ def _atom_stat(d, which):
 
 
 def _trunc_window(d):
-    """Integration window of a continuous Truncated: [lo,hi] clipped to
-    the base twin's effective support."""
+    """Integration window of a continuous Truncated: the user's [lo,hi]
+    intersected with the base support. Only INFINITE endpoints are
+    replaced by effective 1e-13 quantiles (for finite quad bounds) —
+    finite user bounds are never tightened, so far-tail windows like
+    Truncated(Normal(0,1), 8, 9) stay exact. The window mass uses the
+    tail representation that keeps f64 precision (sf differences in the
+    upper tail, cf. Truncated._post_init in distributions.py)."""
     t = _twin(d.base)
     if t is None:
         raise NotImplementedError(
@@ -217,9 +227,21 @@ def _trunc_window(d):
             "a scipy twin of the base")
     lo, hi = float(d.lo), float(d.hi)
     slo, shi = t.support()
-    lo = max(lo, slo if np.isfinite(slo) else float(t.ppf(1e-13)))
-    hi = min(hi, shi if np.isfinite(shi) else float(t.isf(1e-13)))
-    mass = float(t.cdf(hi) - t.cdf(lo))
+    if np.isfinite(lo):
+        lo = max(lo, slo) if np.isfinite(slo) else lo
+    else:
+        lo = slo if np.isfinite(slo) else float(t.ppf(1e-13))
+    if np.isfinite(hi):
+        hi = min(hi, shi) if np.isfinite(shi) else hi
+    else:
+        hi = shi if np.isfinite(shi) else float(t.isf(1e-13))
+    clo = float(t.cdf(lo))
+    mass = (float(t.sf(lo) - t.sf(hi)) if clo > 0.5
+            else float(t.cdf(hi) - clo))
+    if not mass > 0.0:
+        raise ValueError(
+            f"statistics of {d!r}: the truncation window has zero "
+            "probability mass in float64")
     return t, lo, hi, mass
 
 
@@ -431,6 +453,8 @@ def median(d):
         return float(d.loc) + s * median(d.base)
     if isinstance(d, D.Truncated):
         t, lo, hi, mass = _trunc_window(d)
+        if float(t.cdf(lo)) > 0.5:  # far-upper window: invert in sf space
+            return float(t.isf(float(t.sf(lo)) - 0.5 * mass))
         return float(t.ppf(float(t.cdf(lo)) + 0.5 * mass))
     if isinstance(d, (D.TruncatedDiscrete, D.DiscreteNonParametric,
                       D.PoissonBinomial)):
@@ -866,10 +890,12 @@ def truncated(d, lo=None, hi=None, *, lower=None, upper=None):
 
 def product_distribution(dists):
     """Distributions.jl ``product_distribution([...])`` — homogeneous
-    marginals give a vector-valued Product; mixed continuous/discrete
-    packs fall back to the tuple-tree Factored."""
+    UNIVARIATE marginals give a vector-valued Product; mixed
+    continuous/discrete packs and multivariate entries fall back to the
+    tuple-tree Factored (whose marginals may be vector/matrix-variate)."""
     dists = list(dists)
-    if len({bool(m.discrete) for m in dists}) == 1:
+    univariate = all(getattr(m, "event_dim", 0) == 0 for m in dists)
+    if univariate and len({bool(m.discrete) for m in dists}) == 1:
         return D.Product(dists)
     return D.Factored(*dists)
 

@@ -68,11 +68,13 @@ def ess(x, split: bool = True) -> float:
     (default, matching Stan) splits chains in half first.
     """
     chains = _as_chains(x)
-    if split and chains.shape[1] >= 4:
+    if chains.shape[1] < 4:
+        raise ValueError("ess needs at least 4 draws")
+    # split halves the draw count — only split when both halves keep
+    # enough draws for the autocovariance to mean anything
+    if split and chains.shape[1] >= 8:
         chains = _split(chains)
     m, n = chains.shape
-    if n < 4:
-        raise ValueError("ess needs at least 4 draws")
     acov = autocovariance(chains)
     w_t = acov.mean(axis=0)                      # mean autocov per lag
     var_w = (acov[:, 0] * n / (n - 1.0)).mean()  # W, unbiased
@@ -111,8 +113,11 @@ def rhat(x) -> float:
     chains = _split(chains)
     m, n = chains.shape
     w = chains.var(axis=1, ddof=1).mean()
-    if w == 0.0:
-        return float("nan")
     b = chains.mean(axis=1).var(ddof=1)
+    if w == 0.0:
+        # chains frozen at DIFFERENT constants is the worst divergence
+        # R-hat exists to flag — inf, not nan (nan only when the whole
+        # input is one constant)
+        return float("inf") if b > 0.0 else float("nan")
     var_plus = w * (n - 1.0) / n + b
     return float(np.sqrt(var_plus / w))

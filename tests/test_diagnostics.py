@@ -87,3 +87,14 @@ def test_on_real_ais_run_and_particles_input():
     n = len(res)
     assert 0 < e <= n * np.log10(n) + 1e-6
     assert r < 1.2  # stationary target, plenty of moves
+
+
+def test_small_inputs_and_frozen_chains():
+    # review r2: 4-7 draw inputs crashed (post-split length check);
+    # disjoint frozen chains returned nan instead of inf
+    rng = np.random.default_rng(7)
+    assert np.isfinite(ess(rng.standard_normal(5)))
+    assert np.isfinite(ess(rng.standard_normal(7)))
+    assert rhat(np.concatenate([np.zeros((1, 100)),
+                                np.ones((1, 100))])) == np.inf
+    assert np.isnan(rhat(np.ones((2, 100))))

@@ -403,3 +403,39 @@ def test_convenience_functions():
     tup = ka.rand(ka.Factored(ka.Uniform(0, 1), ka.Poisson(3.0)), 4,
                   key=1)
     assert tup[0].shape == (4,) and str(tup[1].dtype) == "int32"
+
+
+def test_truncated_far_tail_stats():
+    """review r2: finite user bounds must never be tightened by the
+    effective-support clamp; far-upper windows need sf-space mass/median.
+    Oracles: scipy truncnorm for moments; dense-grid/MC integration for
+    entropy (scipy's closed-form truncnorm.entropy() itself suffers
+    cancellation at [8,9] and returns -3.195 vs the true -1.111)."""
+    t = ka.Truncated(ka.Normal(0.0, 1.0), 8.0, 9.0)
+    f = st.truncnorm(8.0, 9.0)
+    assert np.isclose(ka.mean(t), f.mean(), rtol=1e-8)
+    assert np.isclose(ka.median(t), f.median(), rtol=1e-8)
+    assert np.isclose(ka.var(t), f.var(), rtol=1e-6)
+    assert 8.0 <= ka.mean(t) <= 9.0 and 8.0 <= ka.median(t) <= 9.0
+    xs = np.linspace(8.0, 9.0, 200_001)
+    p = f.pdf(xs)
+    h = -np.trapezoid(p * np.log(np.maximum(p, 1e-300)), xs)
+    assert np.isclose(ka.entropy(t), h, rtol=1e-5)
+    # ordinary windows unchanged
+    t2 = ka.Truncated(ka.Normal(0.0, 1.0), 7.0, 9.0)
+    assert np.isclose(ka.mean(t2), st.truncnorm(7.0, 9.0).mean(),
+                      rtol=1e-8)
+
+
+def test_truncated_vonmises_and_product_multivariate():
+    # review r2: VonMises was missing from the twin registry (truncated()
+    # raised); multivariate entries crashed Product at sample time
+    tv = ka.Truncated(ka.VonMises(0.5, 2.0), 0.0, 1.0)
+    x = np.asarray(tv.sample(jax.random.key(0), (5000,)))
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert np.isfinite(ka.mean(tv))
+    pd = ka.product_distribution(
+        [ka.MvNormal(np.zeros(2), np.eye(2)), ka.Normal(0.0, 1.0)])
+    assert isinstance(pd, ka.Factored)
+    s = pd.sample_tree(jax.random.key(0))
+    assert np.shape(s[0]) == (2,) and np.shape(s[1]) == ()
