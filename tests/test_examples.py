@@ -37,3 +37,12 @@ def test_example_covariance(capsys):
     runpy.run_path(path, run_name="__main__")  # asserts internally
     out = capsys.readouterr().out
     assert "posterior: r =" in out
+
+
+def test_example_workflow(capsys):
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_workflow.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "rhat" in out and "posterior predictive" in out
