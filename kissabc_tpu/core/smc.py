@@ -49,6 +49,13 @@ class SMCResult(NamedTuple):
     eps: float         # final threshold
     iterations: int
     ess: int
+    # log P(cost < eps | prior) — the ABC acceptance mass under the
+    # final threshold, estimated by the telescoping product of per-
+    # iteration survival fractions (the standard adaptive-SMC evidence
+    # estimator; Del Moral 2012 / Didelot 2011 ABC model choice).
+    # Divide out the eps-kernel volume to compare models. Beyond the
+    # reference (which returns no evidence).
+    log_evidence: float = float("nan")
 
 
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
@@ -108,15 +115,20 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         return thetas, xs, lps, jnp.sum(commit)
 
     def body(state):
-        (key, thetas, xs, lps, alive, eps, it, _acc, done) = state
+        (key, thetas, xs, lps, alive, eps, logz, it, _acc, done) = state
         key, kres, kmc = jax.random.split(key, 3)
         it = it + 1
         eps_v = eps
+        prev_cnt = jnp.sum(alive)  # walkers representing prior|cost<eps_v
         eps = masked_quantile(xs, alive, alpha)
         xmin = jnp.min(jnp.where(alive, xs, jnp.inf))
         flag = ~(eps > xmin)
         alive = jnp.where(flag, xs <= eps, xs < eps)
         ess = jnp.sum(alive)
+        # evidence: survival fraction of this eps-lowering telescopes to
+        # P(cost < eps_final | prior) (counts taken BEFORE resampling)
+        logz = logz + (jnp.log(ess.astype(_f32))
+                       - jnp.log(prev_cnt.astype(_f32)))
 
         # Step 2 — resampling (smc.jl:145-153), under lax.cond so the
         # argsort/scan of the resampler only runs on iterations that
@@ -160,7 +172,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         done = stall | (eps <= epstol) | (accepted < tol_count)
         thetas = constrain(thetas)
         return (key, thetas, constrain(xs), constrain(lps),
-                constrain(alive), eps, it, accepted, done)
+                constrain(alive), eps, logz, it, accepted, done)
 
     def cond(state):
         *_, it, _acc, done = state
@@ -171,13 +183,14 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         thetas, xs, lps = init(kinit)
         alive = jnp.ones((n,), bool)
         return (kloop, thetas, xs, lps, alive, jnp.asarray(jnp.inf, _f32),
-                jnp.int32(0), jnp.int32(0), jnp.asarray(False))
+                jnp.asarray(0.0, _f32), jnp.int32(0), jnp.int32(0),
+                jnp.asarray(False))
 
     def program(key):
         state = jax.lax.while_loop(cond, body, init_state(key))
-        (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
+        (_, thetas, xs, lps, alive, eps, logz, it, _acc, _) = state
         pushed = jax.vmap(prior.push_tree)(thetas)
-        return pushed, xs, lps, alive, eps, it
+        return pushed, xs, lps, alive, eps, logz, it
 
     # expose the pieces for host-stepped drivers (checkpoint/resume,
     # per-iteration logging)
@@ -252,7 +265,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         max_iters=max_iters, resample=resample, verbose=verbose,
         constrain=constrainer(mesh, "walker"),
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
-    pushed, xs, lps, alive, eps, it = jax.jit(program)(as_key(key))
+    pushed, xs, lps, alive, eps, logz, it = jax.jit(program)(as_key(key))
 
     alive_np = fetch(alive)
     pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
@@ -262,6 +275,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         eps=float(eps),
         iterations=int(it),
         ess=int(alive_np.sum()),
+        log_evidence=float(logz),
     )
 
 
@@ -314,17 +328,17 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
 
     while True:
         done = bool(state[-1])
-        it = int(state[6])
+        it = int(state[7])
         if done or it >= max_iters:
             break
         state = body(state)
         if log is not None:
-            log.emit(iteration=int(state[6]), eps=float(state[5]),
-                     ess=int(jnp.sum(state[4])), accepted=int(state[7]))
-        if checkpoint_path and int(state[6]) % checkpoint_every == 0:
-            ckpt.save(checkpoint_path, state, {"iteration": int(state[6])})
+            log.emit(iteration=int(state[7]), eps=float(state[5]),
+                     ess=int(jnp.sum(state[4])), accepted=int(state[8]))
+        if checkpoint_path and int(state[7]) % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, state, {"iteration": int(state[7])})
 
-    (_, thetas, xs, lps, alive, eps, it, _acc, _) = state
+    (_, thetas, xs, lps, alive, eps, logz, it, _acc, _) = state
     pushed = jax.vmap(prior.push_tree)(thetas)
     alive_np = fetch(alive)
     pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
@@ -334,4 +348,5 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         eps=float(eps),
         iterations=int(it),
         ess=int(alive_np.sum()),
+        log_evidence=float(logz),
     )

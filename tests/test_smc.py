@@ -116,3 +116,21 @@ def test_smc_vector_prior():
     x, y = res.P
     radii = np.sqrt(x.particles ** 2 + y.particles ** 2)
     assert np.abs(radii - 1.0).mean() < 0.05
+
+
+def test_smc_log_evidence_matches_analytic():
+    """Beyond-reference: SMCResult.log_evidence = log P(cost < eps |
+    prior), the telescoping product of survival fractions. Analytic
+    oracle: Uniform(-1,1) prior with cost |x| gives P(|x| < eps) = eps;
+    the 2-d product prior with max(|x|,|y|) gives eps^2."""
+    prior = ka.Uniform(-1.0, 1.0)
+    res = ka.smc(prior, lambda x, key: jnp.abs(x), nparticles=4096,
+                 epstol=0.05, key=5)
+    assert np.isclose(np.exp(res.log_evidence), res.eps, rtol=0.12)
+
+    prior2 = ka.Factored(ka.Uniform(-1, 1), ka.Uniform(-1, 1))
+    res2 = ka.smc(prior2,
+                  lambda th, key: jnp.maximum(jnp.abs(th[0]),
+                                              jnp.abs(th[1])),
+                  nparticles=4096, epstol=0.1, key=6)
+    assert np.isclose(np.exp(res2.log_evidence), res2.eps ** 2, rtol=0.15)
