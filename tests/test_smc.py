@@ -134,3 +134,25 @@ def test_smc_log_evidence_matches_analytic():
                                               jnp.abs(th[1])),
                   nparticles=4096, epstol=0.1, key=6)
     assert np.isclose(np.exp(res2.log_evidence), res2.eps ** 2, rtol=0.15)
+
+
+def test_smc_evidence_ranks_models():
+    """ABC model choice: a misspecified simulator earns a (much) lower
+    acceptance mass — the actual use of log_evidence."""
+    tmean, tstd = 0.0, 1.0
+
+    def costA(x, key):  # well-specified
+        s = jax.random.normal(key, (500,)) * x[1] + x[0]
+        return jnp.hypot(jnp.mean(s) - tmean, jnp.std(s) - tstd)
+
+    def costB(x, key):  # shifted by +2: cannot explain the data
+        s = jax.random.normal(key, (500,)) * x[1] + x[0] + 2.0
+        return jnp.hypot(jnp.mean(s) - tmean, jnp.std(s) - tstd)
+
+    prior = ka.Factored(ka.Uniform(-1.0, 1.0), ka.Uniform(0.5, 2.0))
+    ra = ka.smc(prior, costA, nparticles=1024, epstol=0.1, key=1)
+    rb = ka.smc(prior, costB, nparticles=1024, epstol=0.1, key=2)
+    assert ra.eps <= 0.1  # the good model reaches the tolerance
+    assert rb.eps > 0.5   # the bad one stalls far above it
+    # and even at its far-looser eps, B's acceptance mass is much lower
+    assert ra.log_evidence > rb.log_evidence + 2.0
