@@ -69,5 +69,5 @@ from .utils.logging import IterLog, trace  # noqa: F401
 from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 from .particles import pcov, pcor  # noqa: F401
