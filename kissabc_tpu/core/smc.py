@@ -43,6 +43,23 @@ from .density import _adapt_cost
 _f32 = jnp.float32
 
 
+class _SMCState(NamedTuple):
+    """Loop carry of the smc while_loop — a NamedTuple so host-stepped
+    consumers (smc_stepped logging/checkpointing) address fields by name
+    instead of magic positional indices, and checkpoint leaves carry
+    stable field-path names."""
+    key: object
+    thetas: object   # population pytree (walker axis leading)
+    xs: object       # costs [n]
+    lps: object      # prior log-densities [n]
+    alive: object    # bool mask [n]
+    eps: object      # current threshold
+    logz: object     # accumulated log survival mass (evidence)
+    it: object       # iteration counter
+    acc: object      # accepted count of the last sweep
+    done: object     # stop flag
+
+
 class SMCResult(NamedTuple):
     P: object          # Particles (or list of Particles) — alive posterior
     C: np.ndarray      # final cost array (full population, smc.jl:205)
@@ -171,26 +188,25 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
             jnp.abs(eps_v) + jnp.abs(eps))
         done = stall | (eps <= epstol) | (accepted < tol_count)
         thetas = constrain(thetas)
-        return (key, thetas, constrain(xs), constrain(lps),
-                constrain(alive), eps, logz, it, accepted, done)
+        return _SMCState(key, thetas, constrain(xs), constrain(lps),
+                         constrain(alive), eps, logz, it, accepted, done)
 
     def cond(state):
-        *_, it, _acc, done = state
-        return ~done & (it < max_iters)
+        return ~state.done & (state.it < max_iters)
 
     def init_state(key):
         kinit, kloop = jax.random.split(key)
         thetas, xs, lps = init(kinit)
         alive = jnp.ones((n,), bool)
-        return (kloop, thetas, xs, lps, alive, jnp.asarray(jnp.inf, _f32),
-                jnp.asarray(0.0, _f32), jnp.int32(0), jnp.int32(0),
-                jnp.asarray(False))
+        return _SMCState(kloop, thetas, xs, lps, alive,
+                         jnp.asarray(jnp.inf, _f32), jnp.asarray(0.0, _f32),
+                         jnp.int32(0), jnp.int32(0), jnp.asarray(False))
 
     def program(key):
         state = jax.lax.while_loop(cond, body, init_state(key))
-        (_, thetas, xs, lps, alive, eps, logz, it, _acc, _) = state
-        pushed = jax.vmap(prior.push_tree)(thetas)
-        return pushed, xs, lps, alive, eps, logz, it
+        pushed = jax.vmap(prior.push_tree)(state.thetas)
+        return (pushed, state.xs, state.lps, state.alive, state.eps,
+                state.logz, state.it)
 
     # expose the pieces for host-stepped drivers (checkpoint/resume,
     # per-iteration logging)
@@ -327,19 +343,20 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         state, _meta = ckpt.load(checkpoint_path, state)
 
     while True:
-        done = bool(state[-1])
-        it = int(state[7])
-        if done or it >= max_iters:
+        if bool(state.done) or int(state.it) >= max_iters:
             break
         state = body(state)
         if log is not None:
-            log.emit(iteration=int(state[7]), eps=float(state[5]),
-                     ess=int(jnp.sum(state[4])), accepted=int(state[8]))
-        if checkpoint_path and int(state[7]) % checkpoint_every == 0:
-            ckpt.save(checkpoint_path, state, {"iteration": int(state[7])})
+            log.emit(iteration=int(state.it), eps=float(state.eps),
+                     ess=int(jnp.sum(state.alive)),
+                     accepted=int(state.acc))
+        if checkpoint_path and int(state.it) % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, state,
+                      {"iteration": int(state.it)})
 
-    (_, thetas, xs, lps, alive, eps, logz, it, _acc, _) = state
-    pushed = jax.vmap(prior.push_tree)(thetas)
+    eps, logz, it = state.eps, state.logz, state.it
+    alive, xs = state.alive, state.xs
+    pushed = jax.vmap(prior.push_tree)(state.thetas)
     alive_np = fetch(alive)
     pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
     return SMCResult(

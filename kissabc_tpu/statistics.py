@@ -227,14 +227,10 @@ def _trunc_window(d):
             "a scipy twin of the base")
     lo, hi = float(d.lo), float(d.hi)
     slo, shi = t.support()
-    if np.isfinite(lo):
-        lo = max(lo, slo) if np.isfinite(slo) else lo
-    else:
-        lo = slo if np.isfinite(slo) else float(t.ppf(1e-13))
-    if np.isfinite(hi):
-        hi = min(hi, shi) if np.isfinite(shi) else hi
-    else:
-        hi = shi if np.isfinite(shi) else float(t.isf(1e-13))
+    if np.isfinite(slo):
+        lo = max(lo, slo)
+    if np.isfinite(shi):
+        hi = min(hi, shi)
     clo = float(t.cdf(lo))
     mass = (float(t.sf(lo) - t.sf(hi)) if clo > 0.5
             else float(t.cdf(hi) - clo))
@@ -242,19 +238,33 @@ def _trunc_window(d):
         raise ValueError(
             f"statistics of {d!r}: the truncation window has zero "
             "probability mass in float64")
-    return t, lo, hi, mass
+    # quad bounds: a very wide window (e.g. Truncated(Normal, -1e4, 1e4))
+    # starves Gauss-Kronrod — its 21 initial nodes all land where pdf=0,
+    # the error estimate is 0, and quad returns 0 without subdividing.
+    # Shrink a side to the 1e-13 effective quantile ONLY when doing so
+    # discards a negligible fraction of the WINDOW'S OWN mass — an
+    # absolute criterion would chop real conditional mass off far-tail
+    # windows like [7,9] (mass ~1e-12), where the narrow window itself
+    # is the right quad domain.
+    glo, ghi = lo, hi
+    qlo, qhi = float(t.ppf(1e-13)), float(t.isf(1e-13))
+    if qlo > lo and float(t.cdf(qlo)) - clo < 1e-9 * mass:
+        glo = qlo
+    if qhi < hi and float(t.sf(qhi) - t.sf(hi)) < 1e-9 * mass:
+        ghi = qhi
+    return t, glo, ghi, mass, clo
 
 
 def _trunc_quad(d, g):
     from scipy import integrate
-    t, lo, hi, mass = _trunc_window(d)
+    t, lo, hi, mass, _ = _trunc_window(d)
     val = integrate.quad(lambda x: g(x) * t.pdf(x), lo, hi, limit=200)[0]
     return val / mass
 
 
 def _trunc_entropy(d):
     from scipy import integrate
-    t, lo, hi, mass = _trunc_window(d)
+    t, lo, hi, mass, _ = _trunc_window(d)
 
     def h(x):
         f = t.pdf(x) / mass
@@ -452,10 +462,10 @@ def median(d):
         s = float(d.scale)
         return float(d.loc) + s * median(d.base)
     if isinstance(d, D.Truncated):
-        t, lo, hi, mass = _trunc_window(d)
-        if float(t.cdf(lo)) > 0.5:  # far-upper window: invert in sf space
+        t, lo, hi, mass, clo = _trunc_window(d)
+        if clo > 0.5:  # far-upper window: invert in sf space
             return float(t.isf(float(t.sf(lo)) - 0.5 * mass))
-        return float(t.ppf(float(t.cdf(lo)) + 0.5 * mass))
+        return float(t.ppf(clo + 0.5 * mass))
     if isinstance(d, (D.TruncatedDiscrete, D.DiscreteNonParametric,
                       D.PoissonBinomial)):
         return _atom_stat(d, "median")

@@ -61,7 +61,13 @@ def load(path: str, like):
     for pathk, leaf in flat:
         key = _SEP.join(str(p) for p in pathk)
         if key not in arrays:
-            raise KeyError(f"checkpoint missing leaf {key!r}")
+            raise KeyError(
+                f"checkpoint missing leaf {key!r} — the file layout does "
+                "not match the current state structure (most likely the "
+                "checkpoint was written by an older kissabc_tpu version "
+                "whose loop state had different fields); delete the "
+                "checkpoint and restart, or load it manually with "
+                "numpy.load to migrate")
         if _is_key(leaf):
             leaves.append(jax.random.wrap_key_data(
                 jnp.asarray(arrays[key])))

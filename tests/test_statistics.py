@@ -425,6 +425,15 @@ def test_truncated_far_tail_stats():
     t2 = ka.Truncated(ka.Normal(0.0, 1.0), 7.0, 9.0)
     assert np.isclose(ka.mean(t2), st.truncnorm(7.0, 9.0).mean(),
                       rtol=1e-8)
+    # review r2 second pass: VERY WIDE finite windows must not starve
+    # Gauss-Kronrod (the un-clamped [-1e4, 1e4] quad silently returned 0)
+    tw = ka.Truncated(ka.Normal(0.0, 1.0), -1e4, 1e4)
+    assert np.isclose(ka.var(tw), 1.0, rtol=1e-5)
+    tw2 = ka.Truncated(ka.Normal(0.0, 1.0), -1e4, 0.5)
+    assert np.isclose(ka.mean(tw2), st.truncnorm(-1e4, 0.5).mean(),
+                      rtol=1e-6)
+    assert np.isclose(ka.entropy(tw2), st.truncnorm(-1e4, 0.5).entropy(),
+                      rtol=1e-5)
 
 
 def test_truncated_vonmises_and_product_multivariate():
