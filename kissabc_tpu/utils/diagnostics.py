@@ -58,6 +58,18 @@ def _split(chains: np.ndarray) -> np.ndarray:
     return np.concatenate([chains[:, :h], chains[:, h:2 * h]], axis=0)
 
 
+def _maybe_multiparam(x):
+    """Multi-parameter results (a tuple/list of Particles — the shape
+    `sample`/`smc` return for d>1 models) map to per-parameter values.
+    Restricted to Particles elements: a list of ARRAYS stays the
+    [chains, draws] interpretation."""
+    from ..particles import Particles
+    if isinstance(x, (tuple, list)) and x and all(
+            isinstance(p, Particles) for p in x):
+        return list(x)
+    return None
+
+
 def ess(x, split: bool = True) -> float:
     """Effective sample size of (possibly multi-chain) samples.
 
@@ -67,6 +79,9 @@ def ess(x, split: bool = True) -> float:
     rho_{2k} + rho_{2k+1} and made monotone (Geyer 1992). ``split=True``
     (default, matching Stan) splits chains in half first.
     """
+    multi = _maybe_multiparam(x)
+    if multi is not None:
+        return np.array([ess(p, split=split) for p in multi])
     chains = _as_chains(x)
     if chains.shape[1] < 4:
         raise ValueError("ess needs at least 4 draws")
@@ -107,6 +122,9 @@ def ess(x, split: bool = True) -> float:
 def rhat(x) -> float:
     """Split-R-hat (Gelman-Rubin with halved chains): sqrt(var+ / W).
     ~1 at convergence; > ~1.01 signals trouble (Vehtari et al. 2021)."""
+    multi = _maybe_multiparam(x)
+    if multi is not None:
+        return np.array([rhat(p) for p in multi])
     chains = _as_chains(x)
     if chains.shape[1] < 4:
         raise ValueError("rhat needs at least 4 draws")

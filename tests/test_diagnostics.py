@@ -98,3 +98,23 @@ def test_small_inputs_and_frozen_chains():
     assert rhat(np.concatenate([np.zeros((1, 100)),
                                 np.ones((1, 100))])) == np.inf
     assert np.isnan(rhat(np.ones((2, 100))))
+
+
+def test_multiparam_tuple_input():
+    """ess/rhat map over tuple-of-Particles (the d>1 result shape);
+    a list of ARRAYS keeps the [chains, draws] meaning."""
+    import jax.numpy as jnp
+    import kissabc_tpu as ka
+    prior = ka.Factored(ka.Normal(0.0, 1.0), ka.Normal(5.0, 2.0))
+    mdl = ka.CommonLogDensity(
+        2, lambda k: prior.sample_tree(k),
+        lambda th: -0.5 * (th[0] ** 2 + ((th[1] - 5.0) / 2.0) ** 2))
+    res = ka.sample(mdl, ka.AIS(16), 128, ntransitions=2, key=9)
+    e, r = ess(res), rhat(res)
+    assert e.shape == (2,) and np.all(e > 0)
+    assert r.shape == (2,) and np.all(np.isfinite(r))
+    # list of arrays = chains, not parameters
+    rng = np.random.default_rng(1)
+    chains = [rng.standard_normal(500), rng.standard_normal(500)]
+    assert np.isscalar(rhat(np.stack(chains))) or np.ndim(
+        rhat(np.stack(chains))) == 0
