@@ -85,6 +85,27 @@ class Particles:
         """Push every particle through ``f`` (vectorized over the cloud)."""
         return Particles(np.asarray(f(self.particles)))
 
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """Propagate numpy ufuncs through the cloud: ``np.sin(p)``,
+        ``np.exp(p) + q``, ``np.maximum(p, 0)`` all return ``Particles``
+        (MonteCarloMeasurements registers the Base math functions on
+        ``Particles``; ``__array__`` alone would silently demote to a bare
+        ndarray). Reductions (``np.add.reduce`` etc.) run on the raw
+        sample arrays and come back as plain numpy scalars; ``out=`` is
+        unsupported."""
+        if kwargs.get("out") is not None:
+            return NotImplemented
+        arrays = [x.particles if isinstance(x, Particles) else x
+                  for x in inputs]
+        result = getattr(ufunc, method)(*arrays, **kwargs)
+        def wrap(r):
+            r = np.asarray(r)
+            return Particles(r) if r.ndim == 1 and r.shape[0] == len(self) \
+                else r
+        if isinstance(result, tuple):  # e.g. divmod, modf
+            return tuple(wrap(r) for r in result)
+        return wrap(result)
+
     def _binop(self, other, f):
         if isinstance(other, Particles):
             return Particles(f(self.particles, other.particles))
@@ -116,6 +137,29 @@ class Particles:
 
     def __pow__(self, o):
         return self._binop(o, np.power)
+
+    def __rpow__(self, o):
+        return self._binop(o, lambda a, b: np.power(b, a))
+
+    def __mod__(self, o):
+        return self._binop(o, np.mod)
+
+    def __floordiv__(self, o):
+        return self._binop(o, np.floor_divide)
+
+    # comparisons return a boolean cloud: ``(p > 0).mean()`` is the Monte
+    # Carlo estimate of P(p > 0) (MCM's ``mean(p > 0)`` idiom)
+    def __lt__(self, o):
+        return self._binop(o, np.less)
+
+    def __le__(self, o):
+        return self._binop(o, np.less_equal)
+
+    def __gt__(self, o):
+        return self._binop(o, np.greater)
+
+    def __ge__(self, o):
+        return self._binop(o, np.greater_equal)
 
     def __neg__(self):
         return Particles(-self.particles)

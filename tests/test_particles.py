@@ -49,6 +49,40 @@ def test_algebra_and_map():
     assert np.allclose(p.map(np.exp).particles, np.exp([1.0, 2.0, 3.0]))
 
 
+def test_ufunc_propagation():
+    # numpy ufuncs return Particles (MCM registers Base math functions);
+    # __array__ alone would demote np.sin(p) to a bare ndarray
+    p = ka.Particles(np.array([0.0, np.pi / 2, np.pi]))
+    s = np.sin(p)
+    assert isinstance(s, ka.Particles)
+    assert np.allclose(s.particles, [0.0, 1.0, 0.0], atol=1e-12)
+    # mixed Particles/array/scalar operands
+    q = np.maximum(p, np.pi / 4)
+    assert isinstance(q, ka.Particles)
+    assert np.allclose(q.particles, [np.pi / 4, np.pi / 2, np.pi])
+    m = np.add(np.array([1.0, 2.0, 3.0]), p)
+    assert isinstance(m, ka.Particles)
+    # multi-output ufuncs wrap every output
+    frac, whole = np.modf(ka.Particles(np.array([1.5, 2.25, -0.5])))
+    assert isinstance(frac, ka.Particles) and isinstance(whole, ka.Particles)
+    assert np.allclose(frac.particles, [0.5, 0.25, -0.5])
+    # reductions fall through to plain numpy scalars
+    assert np.allclose(np.add.reduce(p), np.pi * 1.5)
+
+
+def test_comparisons_and_extra_dunders():
+    # (p > c).mean() estimates P(p > c) — MCM's mean(p > 0) idiom
+    p = ka.Particles(np.random.default_rng(0).normal(0.0, 1.0, 20_000))
+    mask = p > 0
+    assert isinstance(mask, ka.Particles)
+    assert abs(mask.mean() - 0.5) < 0.02
+    assert abs((p < 1.0).mean() - 0.8413) < 0.02
+    d = ka.Particles(np.array([1.0, 2.0, 3.0]))
+    assert np.allclose((d % 2).particles, [1.0, 0.0, 1.0])
+    assert np.allclose((d // 2).particles, [0.0, 1.0, 1.0])
+    assert np.allclose((2 ** d).particles, [2.0, 4.0, 8.0])
+
+
 def test_tree_bundling_matrix_leaves():
     tree = (np.ones((10,)), np.arange(20.0).reshape(10, 2),
             np.arange(40.0).reshape(10, 2, 2))
