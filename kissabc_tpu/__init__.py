@@ -14,6 +14,8 @@ Samplers:
 - ``smc(prior, cost, ...)`` — adaptive-epsilon SMC-ABC (the flagship).
 - ``ABCDE(prior, cost, eps, ...)`` — ABC differential evolution.
 - ``pfilter(prior, cost, N, ...)`` — quantile particle filter.
+- ``abc_rejection(prior, cost, n, ...)`` — textbook rejection ABC
+  (streaming top-k budget mode or fixed-threshold mode; beyond-reference).
 
 Everything compiles to single XLA programs (``lax.while_loop``/``scan``
 carries, struct-of-arrays particle pytrees) and shards the walker/chain
@@ -64,6 +66,7 @@ from .core.smc import smc, smc_stepped  # noqa: F401
 from .core.tsmc import tsmc  # noqa: F401
 from .core.abcde import ABCDE  # noqa: F401
 from .core.pfilter import pfilter  # noqa: F401
+from .core.rejection import abc_rejection  # noqa: F401
 from .utils import checkpoint  # noqa: F401
 from .utils.logging import IterLog, trace  # noqa: F401
 from .utils.diagnostics import ess, rhat  # noqa: F401

@@ -1,0 +1,208 @@
+"""Plain rejection-ABC — the textbook baseline sampler (Pritchard et al.
+1999; Beaumont 2002 top-quantile variant).
+
+The reference (KissABC.jl) does not ship this, but it is the method every
+ABC user reaches for first, the natural sanity oracle for ``smc``/``AIS``
+posteriors, and an unbiased estimator of the ABC acceptance mass
+``P(cost <= eps | prior)`` — directly comparable to ``SMCResult.log_evidence``.
+Listed in PARITY.md as a beyond-reference capability.
+
+It is also the single most TPU-friendly algorithm in the package — pure
+prior sampling plus a batched simulator, zero ensemble interaction — so it
+doubles as a throughput ceiling for the simulator itself. Two modes, each
+one jitted program:
+
+- **budget mode** (``nsims=``): draw a fixed simulation budget in chunks
+  and keep the best ``nparticles`` — a streaming top-k: ``lax.scan`` over
+  chunks carrying a best-so-far buffer, merged with each chunk by one
+  ``lax.top_k`` over the concatenated costs (no global sort, no O(nsims)
+  memory). ``eps`` comes out as the worst kept cost (Beaumont's
+  quantile-rejection).
+- **threshold mode** (``eps=``): accept draws with ``cost <= eps`` into a
+  fixed buffer via a cumsum-indexed masked scatter (``mode='drop'``)
+  inside a bounded ``lax.while_loop`` — the unbounded rejection loop of
+  the textbook algorithm made static-shape (same policy as pfilter's
+  bounded ``@goto`` replacement, ``src/smc.jl:308-321``).
+
+Prior draws are in-support by construction (discrete marginals come out
+integral), so there is no raw-vs-pushed cost distinction here (cf. the
+``cost_on`` knob on pfilter/ABCDE); the cost sees the float particle and
+the returned population is pushed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.tree import tfloat, tgather, tree_map
+from ..particles import Particles, particles_from_tree
+from ..utils.hostfetch import fetch, fetch_tree
+from ..utils.rng import as_key
+from .density import _adapt_cost
+
+_f32 = jnp.float32
+
+
+class RejectionResult(NamedTuple):
+    P: object            # posterior Particles (per-dimension list, pushed)
+    C: Particles         # accepted costs
+    eps: float           # realized threshold (worst kept cost)
+    nsims: int           # total simulator calls
+    naccept: int         # accepted draws (== nparticles in budget mode)
+    log_evidence: float  # log P(cost <= eps | prior) = log(naccept/nsims)
+
+
+def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
+                  nsims: int | None = None, batch: int | None = None,
+                  max_sims: int = 10_000_000, cost_vectorized: bool = False,
+                  mesh=None, verbose: bool = False,
+                  key=0) -> RejectionResult:
+    """Rejection ABC. Exactly one of ``eps`` / ``nsims`` selects the mode
+    (default: budget mode with ``nsims = 100 * nparticles``).
+
+    ``batch`` is the per-chunk simulation width (default
+    ``max(nparticles, 4096)`` capped at the budget) — make it large enough
+    to saturate the chip; the carry buffer stays ``nparticles`` wide.
+    ``max_sims`` bounds threshold mode; if the buffer is still unfilled at
+    the budget a ``RuntimeWarning`` surfaces the shortfall (unfilled slots
+    carry cost ``+inf``) instead of silently looping forever.
+    ``mesh``: shard each simulation chunk over the mesh ``walker`` axis.
+    """
+    if eps is not None and nsims is not None:
+        raise ValueError("pass either eps= (threshold mode) or nsims= "
+                         "(budget mode), not both")
+    n = int(nparticles)
+    if n < 1:
+        raise ValueError("nparticles must be >= 1")
+    cost2 = cost if cost_vectorized else _adapt_cost(cost)
+
+    if batch is None:
+        batch = max(n, 4096)
+        if nsims is not None or eps is None:
+            batch = min(batch, nsims if nsims is not None else 100 * n)
+    b = max(int(batch), 1)
+
+    from ..parallel.mesh import constrainer
+    constrain = constrainer(mesh, "walker")
+
+    def draw_chunk(k):
+        """One chunk of prior draws + costs; non-finite costs -> +inf."""
+        kd, kc = jax.random.split(k)
+        ths = jax.vmap(lambda kk: tfloat(prior.sample_tree(kk)))(
+            jax.random.split(kd, b))
+        ths = constrain(ths)
+        if cost_vectorized:
+            cs = cost2(ths, kc)
+        else:
+            cs = jax.vmap(cost2)(ths, jax.random.split(kc, b))
+        cs = jnp.asarray(cs, _f32)
+        return ths, jnp.where(jnp.isfinite(cs), cs, jnp.inf)
+
+    if eps is None:
+        # ---- budget mode: streaming top-k over ceil(nsims/b) chunks ----
+        total = 100 * n if nsims is None else int(nsims)
+        if total < n:
+            raise ValueError(f"nsims={total} < nparticles={n}")
+        nchunks = math.ceil(total / b)
+        total = nchunks * b  # realized budget (rounded up to whole chunks)
+
+        def step(carry, k):
+            buf_th, buf_cs = carry
+            ths, cs = draw_chunk(k)
+            merged = jnp.concatenate([buf_cs, cs])
+            top, idx = jax.lax.top_k(-merged, n)
+            cat = tree_map(lambda a, c: jnp.concatenate([a, c]),
+                           buf_th, ths)
+            if verbose:
+                jax.debug.print("abc_rejection chunk: running eps={e}",
+                                e=-top[n - 1])
+            return (tgather(cat, idx), -top), None
+
+        def program(k):
+            k0, kscan = jax.random.split(k)
+            buf_th = tree_map(
+                lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
+                jax.eval_shape(lambda kk: jax.vmap(
+                    lambda q: tfloat(prior.sample_tree(q)))(
+                        jax.random.split(kk, n)), k0))
+            buf_cs = jnp.full((n,), jnp.inf, _f32)
+            (buf_th, buf_cs), _ = jax.lax.scan(
+                step, (buf_th, buf_cs), jax.random.split(kscan, nchunks))
+            order = jnp.argsort(buf_cs)
+            buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
+            pushed = jax.vmap(prior.push_tree)(buf_th)
+            return pushed, buf_cs
+
+        pushed, cs = jax.jit(program)(as_key(key))
+        cs = fetch(cs)
+        epsv = float(cs[-1])
+        naccept = n
+    else:
+        # ---- threshold mode: bounded masked accumulate ----
+        epsv = float(eps)
+        max_batches = max(1, math.ceil(int(max_sims) / b))
+
+        def cond(c):
+            t, _th, _cs, fill, *_ = c
+            return (t < max_batches) & (fill < n)
+
+        def body(c):
+            t, buf_th, buf_cs, fill, nacc, k = c
+            k, sub = jax.random.split(k)
+            ths, cs = draw_chunk(sub)
+            m = cs <= epsv
+            pos = fill + jnp.cumsum(m) - 1
+            pos = jnp.where(m & (pos < n), pos, n)  # OOB -> dropped
+            buf_th = tree_map(
+                lambda bl, cl: bl.at[pos].set(cl, mode="drop"),
+                buf_th, ths)
+            buf_cs = buf_cs.at[pos].set(cs, mode="drop")
+            kept = jnp.sum(m)
+            if verbose:
+                jax.debug.print(
+                    "abc_rejection batch {t}: +{k} accepted", t=t, k=kept)
+            return (t + 1, buf_th, buf_cs,
+                    jnp.minimum(fill + kept, n), nacc + kept, k)
+
+        def program(k):
+            k0, kloop = jax.random.split(k)
+            buf_th = tree_map(
+                lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
+                jax.eval_shape(lambda kk: jax.vmap(
+                    lambda q: tfloat(prior.sample_tree(q)))(
+                        jax.random.split(kk, n)), k0))
+            buf_cs = jnp.full((n,), jnp.inf, _f32)
+            t, buf_th, buf_cs, fill, nacc, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), buf_th, buf_cs, jnp.int32(0),
+                 jnp.int32(0), kloop))
+            pushed = jax.vmap(prior.push_tree)(buf_th)
+            return pushed, buf_cs, fill, nacc, t
+
+        pushed, cs, fill, nacc, t = jax.jit(program)(as_key(key))
+        cs = fetch(cs)
+        fill = int(fill)
+        total = int(t) * b
+        naccept = min(int(nacc), total)  # nacc counts every accepted draw
+        if fill < n:
+            import warnings
+            warnings.warn(
+                f"abc_rejection: only {fill}/{n} particles accepted within "
+                f"max_sims={total} at eps={epsv}; unfilled slots have cost "
+                "+inf — raise max_sims or loosen eps.",
+                RuntimeWarning, stacklevel=2)
+        naccept = fill if fill < n else naccept
+
+    logz = (math.log(naccept) - math.log(total)) if naccept else -math.inf
+    return RejectionResult(
+        P=particles_from_tree(fetch_tree(pushed)),
+        C=Particles(cs),
+        eps=epsv,
+        nsims=total,
+        naccept=int(naccept),
+        log_evidence=logz,
+    )
