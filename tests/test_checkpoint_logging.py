@@ -67,3 +67,23 @@ def test_profiler_trace_smoke(tmp_path):
     for root, _dirs, files in os.walk(logdir):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_profiler_trace_real_sampler(tmp_path):
+    """Tracing a full smc run produces a non-empty xplane profile (the
+    artifact TensorBoard/xprof loads) — exercises the profiler around a
+    real compiled while_loop program, not just one op."""
+    import os
+    logdir = str(tmp_path / "trace_smc")
+    with ka.trace(logdir) as d:
+        res = ka.smc(ka.Normal(1, 0.2),
+                     lambda x: jnp.abs(x * x + 1 - 1.5),
+                     nparticles=128, max_iters=5, key=0)
+    assert d == logdir
+    assert res.C.shape[0] == 128
+    xplanes = []
+    for root, _dirs, files in os.walk(logdir):
+        xplanes.extend(os.path.join(root, f) for f in files
+                       if f.endswith(".xplane.pb"))
+    assert xplanes, "no .xplane.pb profile written"
+    assert all(os.path.getsize(p) > 0 for p in xplanes)
