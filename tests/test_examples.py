@@ -30,6 +30,15 @@ def test_example_socks(capsys):
     assert "n_socks" in out and "prop_pairs" in out
 
 
+def test_example_model_choice(capsys):
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_model_choice.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "log Bayes factor" in out and "log Z_A" in out
+
+
 def test_example_covariance(capsys):
     import os
     path = os.path.join(os.path.dirname(os.path.dirname(
