@@ -51,7 +51,8 @@ class TSMCResult(NamedTuple):
 
 def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
          mcmc_steps: int = 3, max_iters: int = 1000,
-         partner_scheme: str = "auto", mesh=None, key=0) -> TSMCResult:
+         partner_scheme: str = "auto", mesh=None,
+         loglike_vectorized: bool = False, key=0) -> TSMCResult:
     """Adaptive tempered SMC.
 
     - ``prior``: any distribution here (incl. ``Factored``).
@@ -61,18 +62,32 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
       solves ESS(dlambda) = alpha * N; 0.5 is standard).
     - ``mcmc_steps``: rejuvenation sweeps (red/black mixture moves) per
       temperature.
+    - ``loglike_vectorized``: ``loglike(theta_batch_tree, key) -> [b]``
+      evaluates the whole (pushed) batch at once — the hook for
+      batched/Pallas likelihood kernels, mirroring ``cost_vectorized``
+      on the ABC samplers.
     """
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
     n = nparticles
     d = prior.nparams
-    ll2 = _adapt_cost(loglike)
 
     from ..parallel.mesh import constrainer
     constrain = constrainer(mesh, "walker")
 
     vlp = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
-    vll = jax.vmap(lambda th, k: ll2(prior.push_tree(th), k))
+    if loglike_vectorized:
+        _vpush = jax.vmap(prior.push_tree)
+
+        def vll(ths, key):
+            return loglike(_vpush(ths), key)
+    else:
+        ll2 = _adapt_cost(loglike)
+        _v = jax.vmap(lambda th, k: ll2(prior.push_tree(th), k))
+
+        def vll(ths, key):
+            b = jax.tree_util.tree_leaves(ths)[0].shape[0]
+            return _v(ths, jax.random.split(key, b))
 
     def next_lambda(lam, ll):
         """Bisect dlam in (0, 1-lam] so Kish ESS of exp(dlam*ll) = alpha*n
@@ -110,7 +125,7 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
             props, corr = propose_half(kp, upd, comp, d,
                                        scheme=partner_scheme)
             lpp = vlp(props)
-            llp = vll(props, jax.random.split(kl, hi - lo))
+            llp = vll(props, kl)
             old = lp[lo:hi] + lam * ll[lo:hi]
             new = jnp.where(jnp.isfinite(lpp), lpp + lam * llp, -jnp.inf)
             lu = -jax.random.exponential(ka, (hi - lo,), _f32)
@@ -168,7 +183,7 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
             jax.random.split(kinit, n))
         thetas = constrain(thetas)
         lp = jnp.asarray(vlp(thetas), _f32)
-        ll = jnp.asarray(vll(thetas, jax.random.split(kll, n)), _f32)
+        ll = jnp.asarray(vll(thetas, kll), _f32)
         state = (kloop, thetas, lp, ll, jnp.asarray(0.0, _f32),
                  jnp.asarray(0.0, _f32), jnp.int32(0),
                  jnp.asarray(float(n), _f32))

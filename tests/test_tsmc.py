@@ -48,6 +48,24 @@ def test_tsmc_factored_prior_2d():
     assert abs(b_post.mean() - Y[:4].sum() / 5) < 0.03
 
 
+def test_tsmc_vectorized_loglike():
+    """loglike_vectorized evaluates the whole batch at once (the hook
+    for batched/Pallas likelihood kernels) and matches the closed-form
+    conjugate posterior + evidence like the scalar path."""
+    def ll_vec(thetas, key):
+        # thetas: scalar-parameter batch [b]; Y broadcast over it
+        return (-0.5 * jnp.sum((Y[None, :] - thetas[:, None]) ** 2, axis=1)
+                - K / 2 * np.log(2 * np.pi))
+
+    res = ka.tsmc(ka.Normal(0, 1), ll_vec, nparticles=4000, mcmc_steps=5,
+                  loglike_vectorized=True, key=3)
+    m, sd, logz = _truth()
+    assert res.lam == 1.0
+    assert abs(res.P.mean() - m) < 0.02
+    assert abs(res.P.std() - sd) < 0.02
+    assert abs(res.log_evidence - logz) < 0.15
+
+
 def test_tsmc_validation():
     import pytest
     with pytest.raises(ValueError):
