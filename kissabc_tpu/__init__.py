@@ -48,7 +48,7 @@ from .distributions import (  # noqa: F401
     TruncatedDiscrete, TruncatedNormal, Uniform, VonMises, Weibull,
 )
 from .particles import (  # noqa: F401
-    Particles, chainsstack, particles_from_tree, pmap_apply,
+    Particles, chainsstack, hpdi, particles_from_tree, pmap_apply,
     pmean, pstd, pmedian, pquantile,
 )
 from .statistics import (  # noqa: F401

@@ -228,6 +228,21 @@ def pquantile(p, q):
     return p.quantile(q) if isinstance(p, Particles) else np.quantile(p, q)
 
 
+def hpdi(p, alpha=0.95):
+    """Highest-posterior-density interval: the SHORTEST interval holding
+    ``alpha`` of the cloud's mass (narrower than equal-tail quantiles for
+    skewed posteriors — the interval summary ABC users typically report).
+    Returns ``(lo, hi)`` floats."""
+    x = np.sort(p.particles if isinstance(p, Particles) else _as_np(p))
+    m = len(x)
+    # include ceil(alpha*m) consecutive order statistics; pick the
+    # narrowest such window
+    k = max(1, min(m - 1, int(np.ceil(alpha * m)) - 1))
+    widths = x[k:] - x[:m - k]
+    i = int(np.argmin(widths))
+    return float(x[i]), float(x[i + k])
+
+
 def pcov(ps):
     """Covariance matrix across a list of aligned Particles clouds (the
     reference's commented `cov(R)` / sigmapoints usage, smc.jl:234)."""

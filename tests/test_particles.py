@@ -83,6 +83,25 @@ def test_comparisons_and_extra_dunders():
     assert np.allclose((2 ** d).particles, [2.0, 4.0, 8.0])
 
 
+def test_hpdi():
+    # standard normal: the 95% HPDI is the symmetric ±1.96 interval
+    rng = np.random.default_rng(0)
+    p = ka.Particles(rng.normal(0.0, 1.0, 100_000))
+    lo, hi = ka.hpdi(p, 0.95)
+    assert abs(lo + 1.96) < 0.05 and abs(hi - 1.96) < 0.05
+    # skewed (exponential): HPDI hugs zero, shorter than equal-tail
+    q = ka.Particles(rng.exponential(1.0, 100_000))
+    lo, hi = ka.hpdi(q, 0.9)
+    assert lo < 0.01
+    eq_lo, eq_hi = np.quantile(q.particles, [0.05, 0.95])
+    assert (hi - lo) < (eq_hi - eq_lo)
+    # mass check: the interval really holds ~alpha of the cloud
+    frac = float(((q.particles >= lo) & (q.particles <= hi)).mean())
+    assert abs(frac - 0.9) < 0.005
+    # accepts raw arrays too
+    assert ka.hpdi(np.arange(101.0), 0.5)[0] >= 0.0
+
+
 def test_tree_bundling_matrix_leaves():
     tree = (np.ones((10,)), np.arange(20.0).reshape(10, 2),
             np.arange(40.0).reshape(10, 2, 2))
