@@ -3,8 +3,12 @@
 
 The reference (KissABC.jl) does not ship this, but it is the method every
 ABC user reaches for first, the natural sanity oracle for ``smc``/``AIS``
-posteriors, and an unbiased estimator of the ABC acceptance mass
+posteriors, and a direct Monte-Carlo estimator of the ABC acceptance mass
 ``P(cost <= eps | prior)`` — directly comparable to ``SMCResult.log_evidence``.
+(Threshold mode stops as soon as the particle buffer fills, a data-
+dependent stopping time that makes naccept/nsims slightly optimistic —
+classic inverse-binomial bias, vanishing as ``batch``/acceptances per
+batch grow; a run that exhausts ``max_sims`` is exactly unbiased.)
 Listed in PARITY.md as a beyond-reference capability.
 
 It is also the single most TPU-friendly algorithm in the package — pure
@@ -44,6 +48,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.tree import tfloat, tgather, tree_map
 from ..particles import Particles, particles_from_tree
@@ -55,11 +60,12 @@ _f32 = jnp.float32
 
 
 class RejectionResult(NamedTuple):
-    P: object            # posterior Particles (per-dimension list, pushed)
-    C: Particles         # accepted costs
-    eps: float           # realized threshold (worst kept cost)
+    P: object            # posterior Particles (pushed, sorted best-first)
+    C: Particles         # kept costs, ascending (+inf = unfilled slots)
+    eps: float           # budget mode: worst finite kept cost;
+    #                      threshold mode: the eps the caller passed
     nsims: int           # total simulator calls
-    naccept: int         # accepted draws (== nparticles in budget mode)
+    naccept: int         # finite-cost kept draws (budget) / accepted (eps)
     log_evidence: float  # log P(cost <= eps | prior) = log(naccept/nsims)
 
 
@@ -116,8 +122,8 @@ def _budget_program(prior, cost, n, b, nchunks, cost_vectorized, mesh,
         buf_cs = jnp.full((n,), jnp.inf, _f32)
         (buf_th, buf_cs), _ = jax.lax.scan(
             step, (buf_th, buf_cs), jax.random.split(kscan, nchunks))
-        order = jnp.argsort(buf_cs)
-        buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
+        # carry invariant: top_k returns values sorted, so buf_cs exits
+        # the scan ascending (best-first) — no final sort needed
         pushed = jax.vmap(prior.push_tree)(buf_th)
         return pushed, buf_cs
 
@@ -158,6 +164,9 @@ def _threshold_program(prior, cost, n, b, epsv, max_batches,
             cond, body,
             (jnp.int32(0), buf_th, buf_cs, jnp.int32(0),
              jnp.int32(0), kloop))
+        # sort best-first like budget mode (unfilled +inf slots go last)
+        order = jnp.argsort(buf_cs)
+        buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
         pushed = jax.vmap(prior.push_tree)(buf_th)
         return pushed, buf_cs, fill, nacc, t
 
@@ -204,19 +213,33 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
                                bool(cost_vectorized), mesh, bool(verbose))
         pushed, cs = prog(as_key(key))
         cs = fetch(cs)
-        epsv = float(cs[-1])
-        naccept = n
+        # kept slots with +inf cost are either never-overwritten init
+        # placeholders or genuinely infinite-cost draws — neither is a
+        # posterior sample; count only the finite ones (cs is ascending,
+        # so they are the leading naccept entries)
+        naccept = int(np.sum(np.isfinite(cs)))
+        epsv = float(cs[naccept - 1]) if naccept else float("inf")
+        if naccept < n:
+            import warnings
+            warnings.warn(
+                f"abc_rejection: only {naccept}/{n} draws had finite cost "
+                f"within nsims={total}; trailing slots are unfilled "
+                "placeholders (cost +inf) — raise nsims or check the "
+                "simulator.", RuntimeWarning, stacklevel=2)
     else:
         # ---- threshold mode: bounded masked accumulate ----
         epsv = float(eps)
-        max_batches = max(1, math.ceil(int(max_sims) / b))
+        b = min(b, int(max_sims))  # never exceed the simulation budget
+        max_batches = max(1, int(max_sims) // b)
         prog = _threshold_program(prior, cost, n, b, epsv, max_batches,
                                   bool(cost_vectorized), mesh, bool(verbose))
         pushed, cs, fill, nacc, t = prog(as_key(key))
         cs = fetch(cs)
         fill = int(fill)
         total = int(t) * b
-        naccept = min(int(nacc), total)  # nacc counts every accepted draw
+        # nacc <= t*b always, and when fill < n nothing was dropped so
+        # nacc == fill — no clamping needed
+        naccept = int(nacc)
         if fill < n:
             import warnings
             warnings.warn(
@@ -224,7 +247,6 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
                 f"max_sims={total} at eps={epsv}; unfilled slots have cost "
                 "+inf — raise max_sims or loosen eps.",
                 RuntimeWarning, stacklevel=2)
-        naccept = fill if fill < n else naccept
 
     logz = (math.log(naccept) - math.log(total)) if naccept else -math.inf
     return RejectionResult(

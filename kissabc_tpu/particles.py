@@ -148,7 +148,26 @@ class Particles:
         return self._binop(o, np.floor_divide)
 
     # comparisons return a boolean cloud: ``(p > 0).mean()`` is the Monte
-    # Carlo estimate of P(p > 0) (MCM's ``mean(p > 0)`` idiom)
+    # Carlo estimate of P(p > 0) (MCM's ``mean(p > 0)`` idiom); == / !=
+    # included so ``(p == 4).mean()`` works for discrete marginals —
+    # numpy-style, with __bool__ raising on ambiguous truth values so a
+    # cloud can't silently collapse to True inside `if`/`in`
+    __hash__ = None
+
+    def __eq__(self, o):
+        return self._binop(o, np.equal)
+
+    def __ne__(self, o):
+        return self._binop(o, np.not_equal)
+
+    def __bool__(self):
+        if len(self) == 1:
+            return bool(self.particles[0])
+        raise ValueError(
+            "The truth value of a Particles cloud is ambiguous — use "
+            ".mean() for an acceptance fraction, or .approx() for the "
+            "statistical ≈.")
+
     def __lt__(self, o):
         return self._binop(o, np.less)
 
@@ -233,8 +252,13 @@ def hpdi(p, alpha=0.95):
     ``alpha`` of the cloud's mass (narrower than equal-tail quantiles for
     skewed posteriors — the interval summary ABC users typically report).
     Returns ``(lo, hi)`` floats."""
-    x = np.sort(p.particles if isinstance(p, Particles) else _as_np(p))
+    x = np.sort(np.asarray(
+        p.particles if isinstance(p, Particles) else _as_np(p)).reshape(-1))
     m = len(x)
+    if m == 0:
+        raise ValueError("hpdi of an empty cloud")
+    if m == 1:
+        return float(x[0]), float(x[0])
     # include ceil(alpha*m) consecutive order statistics; pick the
     # narrowest such window
     k = max(1, min(m - 1, int(np.ceil(alpha * m)) - 1))

@@ -81,6 +81,18 @@ def test_comparisons_and_extra_dunders():
     assert np.allclose((d % 2).particles, [1.0, 0.0, 1.0])
     assert np.allclose((d // 2).particles, [0.0, 1.0, 1.0])
     assert np.allclose((2 ** d).particles, [2.0, 4.0, 8.0])
+    # == / != are clouds too: (p == k).mean() estimates P(p == k) for
+    # discrete marginals
+    eq = d == 2.0
+    assert isinstance(eq, ka.Particles)
+    assert eq.mean() == 1.0 / 3.0
+    assert (d != 2.0).mean() == 2.0 / 3.0
+    # ambiguous truth values raise loudly (numpy semantics) instead of
+    # silently collapsing inside `if`/`in`
+    import pytest
+    with pytest.raises(ValueError):
+        bool(eq)
+    assert bool(ka.Particles(np.array([5.0])) == 5.0)
 
 
 def test_hpdi():
@@ -100,6 +112,11 @@ def test_hpdi():
     assert abs(frac - 0.9) < 0.005
     # accepts raw arrays too
     assert ka.hpdi(np.arange(101.0), 0.5)[0] >= 0.0
+    # degenerate clouds: singleton collapses, empty raises
+    assert ka.hpdi(np.array([3.0])) == (3.0, 3.0)
+    import pytest
+    with pytest.raises(ValueError):
+        ka.hpdi(np.array([]))
 
 
 def test_tree_bundling_matrix_leaves():

@@ -54,6 +54,37 @@ def test_threshold_mode_evidence_matches_gaussian_mass():
     assert abs(res.P.std() - stats.truncnorm.std(-0.5, 0.5)) < 0.02
 
 
+def test_budget_mode_infinite_cost_shortfall_warns():
+    # a cost that is almost always +inf: budget mode must NOT silently
+    # return zero-initialized placeholder particles — finite kept draws
+    # are counted, eps is the worst FINITE kept cost, and the shortfall
+    # warns (review finding: placeholders used to leak with naccept=n)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = ka.abc_rejection(
+            ka.Uniform(0.0, 1.0),
+            lambda th: jnp.where(th < 0.001, th, jnp.inf),
+            64, nsims=1024, key=11)
+    assert any("finite cost" in str(x.message) for x in w)
+    assert res.naccept < 64
+    assert np.isfinite(res.eps) or res.naccept == 0
+    # the finite kept draws really satisfy the cost law (th < 0.001)
+    kept = res.C.particles[:res.naccept]
+    assert np.all(np.isfinite(kept))
+    assert res.log_evidence <= np.log(max(res.naccept, 1) / 1024)
+
+
+def test_threshold_mode_sorted_and_budget_capped():
+    # threshold mode sorts best-first like budget mode, and never runs
+    # more than max_sims simulations even when batch > max_sims
+    res = ka.abc_rejection(ka.Normal(0.0, 1.0), lambda th: jnp.abs(th),
+                           32, eps=1.0, batch=4096, max_sims=1000, key=12)
+    assert res.nsims <= 1000
+    finite = res.C.particles[np.isfinite(res.C.particles)]
+    assert len(finite) > 0
+    assert np.all(np.diff(finite) >= 0)  # best-first like budget mode
+
+
 def test_threshold_unfilled_warns():
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
