@@ -206,7 +206,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         state = jax.lax.while_loop(cond, body, init_state(key))
         pushed = jax.vmap(prior.push_tree)(state.thetas)
         return (pushed, state.xs, state.lps, state.alive, state.eps,
-                state.logz, state.it)
+                state.logz, state.it, state.done)
 
     # expose the pieces for host-stepped drivers (checkpoint/resume,
     # per-iteration logging)
@@ -281,8 +281,20 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         max_iters=max_iters, resample=resample, verbose=verbose,
         constrain=constrainer(mesh, "walker"),
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
-    pushed, xs, lps, alive, eps, logz, it = jax.jit(program)(as_key(key))
+    pushed, xs, lps, alive, eps, logz, it, done = \
+        jax.jit(program)(as_key(key))
 
+    if not bool(done):
+        # the reference loops until an eps stall / epstol / acceptance
+        # collapse (smc.jl:194-198); max_iters is this build's safety
+        # bound, so hitting it means none of the real stopping rules
+        # fired — surface it rather than letting it read as convergence
+        import warnings
+        warnings.warn(
+            f"smc: stopped at the max_iters={max_iters} safety bound "
+            "before any stopping rule (eps stall / epstol / acceptance "
+            "collapse) fired; the posterior may not be converged.",
+            RuntimeWarning, stacklevel=2)
     alive_np = fetch(alive)
     pushed_alive = tree_map(lambda x: fetch(x)[alive_np], pushed)
     return SMCResult(
@@ -354,6 +366,12 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
             ckpt.save(checkpoint_path, state,
                       {"iteration": int(state.it)})
 
+    if not bool(state.done):
+        import warnings
+        warnings.warn(
+            f"smc_stepped: stopped at the max_iters={max_iters} safety "
+            "bound before any stopping rule fired; the posterior may not "
+            "be converged.", RuntimeWarning, stacklevel=2)
     eps, logz, it = state.eps, state.logz, state.it
     alive, xs = state.alive, state.xs
     pushed = jax.vmap(prior.push_tree)(state.thetas)

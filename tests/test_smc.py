@@ -75,6 +75,27 @@ def test_banana_smc_parallel_and_inf_costs():
     assert r2[1].approx(1, atol=0.05)
 
 
+def test_smc_max_iters_warns_unconverged():
+    # max_iters is this build's safety bound (the reference loops until
+    # a real stopping rule fires) — hitting it must not read as
+    # convergence
+    import warnings as w
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        res = ka.smc(ka.Normal(1, 0.2),
+                     lambda x: jnp.abs(x * x + 1 - 1.5),
+                     nparticles=128, max_iters=3, key=0)
+    assert res.iterations == 3
+    assert any("max_iters" in str(x.message) for x in rec)
+    # a normally-converging run does not warn
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        ka.smc(ka.Normal(1, 0.2), lambda x: jnp.abs(x * x + 1 - 1.5),
+               nparticles=128, epstol=0.1, key=0)
+    assert not any("max_iters" in str(x.message) for x in rec2)
+
+
 def test_smc_knob_validation():
     pri = ka.Normal(0, 1)
     cost = lambda x: jnp.abs(x)
