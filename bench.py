@@ -553,13 +553,17 @@ def main():
     def cap():
         return min(remaining() - 30, 60)
 
+    def log_utilization(roof):
+        if roof and _printed_headline[0]:
+            # headline updates/s x 1000 normals/update vs the bare kernel
+            util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
+            log(f"utilization: headline sweep runs at {util:.0%} of the "
+                f"raw {roof['normals_per_s'] / 1e9:.1f} Gnormals/s "
+                "generator kernel (speed-of-light proxy for this "
+                "simulator-bound workload)")
+
     roof = run_row("roofline", cap())
-    if roof and _printed_headline[0]:
-        util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
-        log(f"utilization: headline sweep runs at {util:.0%} of the raw "
-            f"{roof['normals_per_s'] / 1e9:.1f} Gnormals/s generator "
-            "kernel (speed-of-light proxy for this simulator-bound "
-            "workload)")
+    log_utilization(roof)
     if not ais_ran:
         run_row("ais-sweep", cap())
     run_row("mcmc-sweep", cap())
@@ -581,12 +585,7 @@ def main():
     # the roofline (the utilization denominator) a second shot if budget
     # remains
     if not roof and remaining() > 70:
-        roof = run_row("roofline", 60)
-        if roof and _printed_headline[0]:
-            util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
-            log(f"utilization: headline sweep runs at {util:.0%} of the "
-                f"raw {roof['normals_per_s'] / 1e9:.1f} Gnormals/s "
-                "generator kernel")
+        log_utilization(run_row("roofline", 60))
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records

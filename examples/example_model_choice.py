@@ -14,8 +14,9 @@ agree before using them:
 
 1. ``smc(...).log_evidence`` — telescoping product of per-iteration
    survival fractions along the adaptive eps ladder;
-2. ``abc_rejection(..., eps=...).log_evidence`` — the plain unbiased
-   Monte-Carlo estimate naccept/nsims at the same threshold.
+2. ``abc_rejection(..., eps=...).log_evidence`` — the direct Monte-Carlo
+   estimate naccept/nsims at the same threshold (slightly optimistic
+   under the early-stop rule; see core/rejection.py).
 
 The log Bayes factor log(Z_A/Z_B) at a common eps then quantifies how
 decisively the data reject the misspecified simulator.

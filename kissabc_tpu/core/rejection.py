@@ -184,9 +184,11 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
     ``batch`` is the per-chunk simulation width (default
     ``max(nparticles, 4096)`` capped at the budget) — make it large enough
     to saturate the chip; the carry buffer stays ``nparticles`` wide.
-    ``max_sims`` bounds threshold mode; if the buffer is still unfilled at
-    the budget a ``RuntimeWarning`` surfaces the shortfall (unfilled slots
-    carry cost ``+inf``) instead of silently looping forever.
+    ``max_sims`` bounds threshold mode (spent in whole batches, so the
+    realized budget is ``floor(max_sims/batch)*batch``); if the buffer is
+    still unfilled at the budget a ``RuntimeWarning`` surfaces the
+    shortfall (unfilled slots carry cost ``+inf``) instead of silently
+    looping forever.
     ``mesh``: shard each simulation chunk over the mesh ``walker`` axis.
     """
     if eps is not None and nsims is not None:
@@ -228,8 +230,13 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
                 "simulator.", RuntimeWarning, stacklevel=2)
     else:
         # ---- threshold mode: bounded masked accumulate ----
+        if int(max_sims) < 1:
+            raise ValueError(f"max_sims must be >= 1, got {max_sims}")
         epsv = float(eps)
         b = min(b, int(max_sims))  # never exceed the simulation budget
+        # whole batches only (static shapes): the realized budget is
+        # floor(max_sims/batch)*batch — choose batch to divide max_sims
+        # to spend it exactly
         max_batches = max(1, int(max_sims) // b)
         prog = _threshold_program(prior, cost, n, b, epsv, max_batches,
                                   bool(cost_vectorized), mesh, bool(verbose))
@@ -243,9 +250,10 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
         if fill < n:
             import warnings
             warnings.warn(
-                f"abc_rejection: only {fill}/{n} particles accepted within "
-                f"max_sims={total} at eps={epsv}; unfilled slots have cost "
-                "+inf — raise max_sims or loosen eps.",
+                f"abc_rejection: only {fill}/{n} particles accepted after "
+                f"{total} simulations (budget max_sims={int(max_sims)}, "
+                f"spent in whole batches of {b}) at eps={epsv}; unfilled "
+                "slots have cost +inf — raise max_sims or loosen eps.",
                 RuntimeWarning, stacklevel=2)
 
     logz = (math.log(naccept) - math.log(total)) if naccept else -math.inf

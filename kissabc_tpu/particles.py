@@ -252,8 +252,17 @@ def hpdi(p, alpha=0.95):
     ``alpha`` of the cloud's mass (narrower than equal-tail quantiles for
     skewed posteriors — the interval summary ABC users typically report).
     Returns ``(lo, hi)`` floats."""
-    x = np.sort(np.asarray(
-        p.particles if isinstance(p, Particles) else _as_np(p)).reshape(-1))
+    if isinstance(p, (list, tuple)):
+        # multi-parameter posterior (list of per-dimension Particles, the
+        # particles_from_tree convention): one interval per parameter
+        return [hpdi(q, alpha) for q in p]
+    x = np.asarray(p.particles if isinstance(p, Particles) else _as_np(p))
+    if x.ndim != 1:
+        raise ValueError(
+            f"hpdi needs a 1-D sample cloud, got shape {x.shape}; pass "
+            "per-parameter Particles (or a list of them) — pooling "
+            "parameters would give a meaningless interval")
+    x = np.sort(x)
     m = len(x)
     if m == 0:
         raise ValueError("hpdi of an empty cloud")

@@ -117,6 +117,12 @@ def test_hpdi():
     import pytest
     with pytest.raises(ValueError):
         ka.hpdi(np.array([]))
+    # multi-parameter posteriors: list of Particles -> per-param
+    # intervals; 2-D raw arrays refuse to pool across parameters
+    ivs = ka.hpdi([p, ka.Particles(rng.normal(100.0, 1.0, 10_000))], 0.95)
+    assert len(ivs) == 2 and abs(ivs[1][0] - 98.04) < 0.2
+    with pytest.raises(ValueError):
+        ka.hpdi(np.zeros((2, 100)))
 
 
 def test_tree_bundling_matrix_leaves():
