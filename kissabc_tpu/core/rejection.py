@@ -188,7 +188,10 @@ def abc_rejection(prior, cost, nparticles: int, *, eps: float | None = None,
     realized budget is ``floor(max_sims/batch)*batch``); if the buffer is
     still unfilled at the budget a ``RuntimeWarning`` surfaces the
     shortfall (unfilled slots carry cost ``+inf``) instead of silently
-    looping forever.
+    looping forever. Budget mode conversely rounds ``nsims`` UP to whole
+    chunks (realized budget ``ceil(nsims/batch)*batch``, up to
+    ``batch-1`` extra simulator calls) so no requested simulation is
+    dropped; pass ``batch`` dividing ``nsims`` for an exact budget.
     ``mesh``: shard each simulation chunk over the mesh ``walker`` axis.
     """
     if eps is not None and nsims is not None:

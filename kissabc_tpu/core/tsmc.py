@@ -11,10 +11,16 @@ effective sample size hits ``alpha * N`` (Del Moral et al. 2012; cf. the
 'Optimised Annealed Sequential Monte Carlo Samplers' line of work in
 PAPERS.md), systematic resampling, and ensemble-move MCMC rejuvenation
 (the same red/black stretch/DE/walk mixture as AIS, targeting the
-current tempered density). Produces an unbiased marginal-likelihood
+current tempered density). Produces a consistent marginal-likelihood
 (evidence) estimate as a by-product:
 
     log Z = sum_t log ( sum_i w_i exp(dlambda_t * ll_i) / sum_i w_i ).
+
+The classical SMC unbiasedness theorem (Del Moral 2004, Prop. 7.4.1)
+requires a temperature schedule FIXED in advance; here the schedule is
+chosen adaptively from the same particle set (``next_lambda``), which
+introduces a bias that vanishes as the particle count grows — the
+estimator is consistent, not strictly unbiased.
 
 TPU-native: one jitted ``lax.while_loop``; the temperature search is a
 fixed-iteration bisection on Kish ESS; everything batched over the

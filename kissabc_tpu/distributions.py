@@ -116,6 +116,20 @@ class Distribution:
     def pdf(self, x):
         return jnp.exp(self.logpdf(x))
 
+    def sf(self, x):
+        """Survival function 1 - cdf. This generic fallback computes the
+        complement in f32, so the upper tail saturates once cdf rounds
+        to 1 (~1e-7 tail mass); families with a stable closed survival
+        form override it (Normal, Exponential, Weibull, ...) for
+        tail-accurate values — Distributions.jl's ``ccdf`` semantics."""
+        return 1.0 - self.cdf(x)
+
+    def logsf(self, x):
+        """log survival. The generic fallback floors at log(1e-37); the
+        tail-accurate overrides (e.g. Exponential's exact ``-x/theta``)
+        have unbounded range."""
+        return jnp.log(jnp.maximum(self.sf(x), np.float32(1e-37)))
+
 
 def _bisect_quantile(cdf, lo, hi, q, iters=60):
     """Invert a monotone cdf on [lo, hi] with fixed-iteration bisection —
@@ -173,6 +187,13 @@ class Normal(Distribution):
     def cdf(self, x):
         return ndtr((x - self.mu) / self.sigma)
 
+    def sf(self, x):
+        return ndtr(-(x - self.mu) / self.sigma)
+
+    def logsf(self, x):
+        from jax.scipy.special import log_ndtr
+        return log_ndtr(-(x - self.mu) / self.sigma)
+
     def quantile(self, q):
         return self.mu + self.sigma * ndtri(q)
 
@@ -192,6 +213,12 @@ class Exponential(Distribution):
 
     def cdf(self, x):
         return jnp.where(x >= 0, 1.0 - jnp.exp(-x / self.theta), 0.0)
+
+    def sf(self, x):
+        return jnp.exp(-jnp.maximum(x, 0.0) / self.theta)
+
+    def logsf(self, x):
+        return -jnp.maximum(x, 0.0) / self.theta
 
     def quantile(self, q):
         return -self.theta * jnp.log1p(-q)
@@ -280,6 +307,19 @@ class LogNormal(Distribution):
         xs = jnp.where(ok, x, 1.0)
         return jnp.where(ok, ndtr((jnp.log(xs) - self.mu) / self.sigma), 0.0)
 
+    def sf(self, x):
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        return jnp.where(ok, ndtr(-(jnp.log(xs) - self.mu) / self.sigma),
+                         1.0)
+
+    def logsf(self, x):
+        from jax.scipy.special import log_ndtr
+        ok = x > 0
+        xs = jnp.where(ok, x, 1.0)
+        return jnp.where(
+            ok, log_ndtr(-(jnp.log(xs) - self.mu) / self.sigma), 0.0)
+
     def quantile(self, q):
         return jnp.exp(self.mu + self.sigma * ndtri(q))
 
@@ -298,6 +338,16 @@ class Laplace(Distribution):
     def cdf(self, x):
         z = (x - self.mu) / self.sigma
         return jnp.where(z < 0, 0.5 * jnp.exp(z), 1 - 0.5 * jnp.exp(-z))
+
+    def sf(self, x):
+        z = (x - self.mu) / self.sigma
+        return jnp.where(z < 0, 1 - 0.5 * jnp.exp(z), 0.5 * jnp.exp(-z))
+
+    def logsf(self, x):
+        z = (x - self.mu) / self.sigma
+        zs = jnp.minimum(z, 0.0)
+        return jnp.where(z < 0, jnp.log1p(-0.5 * jnp.exp(zs)),
+                         _f32(np.log(0.5)) - z)
 
     def quantile(self, q):
         return self.mu - self.sigma * jnp.sign(q - 0.5) * jnp.log1p(
@@ -318,6 +368,17 @@ class Cauchy(Distribution):
 
     def cdf(self, x):
         return 0.5 + jnp.arctan((x - self.mu) / self.sigma) / np.pi
+
+    def sf(self, x):
+        z = (x - self.mu) / self.sigma
+        # upper tail via arctan(1/z)/pi (exact identity for z > 0) —
+        # 0.5 - arctan(z)/pi cancels catastrophically for large z
+        zs = jnp.where(z > 0, z, 1.0)
+        return jnp.where(z > 0, jnp.arctan(1.0 / zs) / np.pi,
+                         0.5 - jnp.arctan(z) / np.pi)
+
+    def logsf(self, x):
+        return jnp.log(self.sf(x))
 
     def quantile(self, q):
         return self.mu + self.sigma * jnp.tan(np.pi * (q - 0.5))
@@ -382,6 +443,12 @@ class Weibull(Distribution):
         return jnp.where(x > 0,
                          -jnp.expm1(-(jnp.maximum(x, 0) / self.theta)
                                     ** self.alpha), 0.0)
+
+    def sf(self, x):
+        return jnp.exp(self.logsf(x))
+
+    def logsf(self, x):
+        return -(jnp.maximum(x, 0.0) / self.theta) ** self.alpha
 
     def quantile(self, q):
         return self.theta * (-jnp.log1p(-q)) ** (1.0 / self.alpha)
@@ -465,6 +532,12 @@ class Logistic(Distribution):
     def cdf(self, x):
         return jax.nn.sigmoid((x - self.mu) / self.theta)
 
+    def sf(self, x):
+        return jax.nn.sigmoid(-(x - self.mu) / self.theta)
+
+    def logsf(self, x):
+        return jax.nn.log_sigmoid(-(x - self.mu) / self.theta)
+
     def quantile(self, q):
         return self.mu + self.theta * (jnp.log(q) - jnp.log1p(-q))
 
@@ -487,6 +560,13 @@ class Rayleigh(Distribution):
     def cdf(self, x):
         xs = jnp.maximum(x, 0.0)
         return -jnp.expm1(-0.5 * (xs / self.sigma) ** 2)
+
+    def sf(self, x):
+        return jnp.exp(self.logsf(x))
+
+    def logsf(self, x):
+        xs = jnp.maximum(x, 0.0)
+        return -0.5 * (xs / self.sigma) ** 2
 
     def quantile(self, q):
         return self.sigma * jnp.sqrt(-2.0 * jnp.log1p(-q))
@@ -513,6 +593,15 @@ class Pareto(Distribution):
     def cdf(self, x):
         xs = jnp.maximum(x, self.theta)
         return 1.0 - (self.theta / xs) ** self.alpha
+
+    def sf(self, x):
+        xs = jnp.maximum(x, self.theta)
+        return (self.theta / xs) ** self.alpha
+
+    def logsf(self, x):
+        xs = jnp.maximum(x, self.theta)
+        # host-side log(theta): no device constants at trace time
+        return self.alpha * (_f32(np.log(float(self.theta))) - jnp.log(xs))
 
     def quantile(self, q):
         return self.theta * jnp.exp(-jnp.log1p(-q) / self.alpha)
@@ -567,6 +656,18 @@ class Gumbel(Distribution):
 
     def cdf(self, x):
         return jnp.exp(-jnp.exp(-(x - self.mu) / self.theta))
+
+    def sf(self, x):
+        # -expm1(-t) ~ t for small t: upper tail exact where cdf rounds to 1
+        return -jnp.expm1(-jnp.exp(-(x - self.mu) / self.theta))
+
+    def logsf(self, x):
+        z = (x - self.mu) / self.theta
+        t = jnp.exp(-z)
+        # log(-expm1(-t)) = log(t) - t/2 + O(t^2) for small t — switch
+        # before t underflows f32 so the far upper tail stays exact (-z)
+        exact = jnp.log(jnp.maximum(-jnp.expm1(-t), _f32(1e-37)))
+        return jnp.where(t < _f32(1e-4), -z - 0.5 * t, exact)
 
     def quantile(self, q):
         return self.mu - self.theta * jnp.log(-jnp.log(q))
@@ -717,6 +818,21 @@ class Frechet(Distribution):
         ok = x > 0
         z = jnp.where(ok, x / self.theta, 1.0)
         return jnp.where(ok, jnp.exp(-z ** (-self.alpha)), 0.0)
+
+    def sf(self, x):
+        ok = x > 0
+        z = jnp.where(ok, x / self.theta, 1.0)
+        return jnp.where(ok, -jnp.expm1(-z ** (-self.alpha)), 1.0)
+
+    def logsf(self, x):
+        ok = x > 0
+        z = jnp.where(ok, x / self.theta, 1.0)
+        t = z ** (-self.alpha)
+        exact = jnp.log(jnp.maximum(-jnp.expm1(-t), _f32(1e-37)))
+        # small-t series keeps the far upper tail (t ~ z^-alpha) exact
+        lsf = jnp.where(t < _f32(1e-4),
+                        -self.alpha * jnp.log(z) - 0.5 * t, exact)
+        return jnp.where(ok, lsf, 0.0)
 
     def quantile(self, q):
         return self.theta * (-jnp.log(q)) ** np.float32(-1.0 /
@@ -1775,6 +1891,12 @@ class MvNormal(Distribution):
     def _post_init(self):
         chol = np.linalg.cholesky(np.asarray(self.cov, np.float64))
         object.__setattr__(self, "chol", chol.astype(_f32))
+        # inverse taken from the FLOAT64 factor before the f32 cast;
+        # the remaining accuracy gap vs an on-device triangular solve is
+        # the f32 matmul itself, which costs ~kappa(chol) ulps in the
+        # Mahalanobis term — acceptable for reasonably conditioned
+        # covariances, and the matmul is batch-shape agnostic where
+        # solve_triangular refuses mixed batch ranks
         object.__setattr__(self, "_cholinv",
                            np.linalg.inv(chol).astype(_f32))
         object.__setattr__(
@@ -3001,6 +3123,8 @@ class MvTDist(Distribution):
         d = self.mean.shape[0]
         chol = np.linalg.cholesky(np.asarray(self.cov, np.float64))
         object.__setattr__(self, "chol", chol.astype(_f32))
+        # float64 inverse cast to f32 — same conditioning tradeoff as
+        # MvNormal._post_init (see comment there)
         object.__setattr__(self, "_cholinv",
                            np.linalg.inv(chol).astype(_f32))
         logdet = 2.0 * np.sum(np.log(np.diag(chol)))

@@ -91,8 +91,8 @@ class Particles:
         (MonteCarloMeasurements registers the Base math functions on
         ``Particles``; ``__array__`` alone would silently demote to a bare
         ndarray). Reductions (``np.add.reduce`` etc.) run on the raw
-        sample arrays and come back as plain numpy scalars; ``out=`` is
-        unsupported."""
+        sample arrays and come back as plain Python scalars (matching
+        ``Particles.mean()``/``std()``); ``out=`` is unsupported."""
         if kwargs.get("out") is not None:
             return NotImplemented
         arrays = [x.particles if isinstance(x, Particles) else x
@@ -100,8 +100,11 @@ class Particles:
         result = getattr(ufunc, method)(*arrays, **kwargs)
         def wrap(r):
             r = np.asarray(r)
-            return Particles(r) if r.ndim == 1 and r.shape[0] == len(self) \
-                else r
+            if r.ndim == 1 and r.shape[0] == len(self):
+                return Particles(r)
+            # reductions (np.max(p), np.add.reduce(p)) come back 0-d;
+            # return a plain scalar like Particles.mean()/std() do
+            return r.item() if r.ndim == 0 else r
         if isinstance(result, tuple):  # e.g. divmod, modf
             return tuple(wrap(r) for r in result)
         return wrap(result)

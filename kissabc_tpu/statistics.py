@@ -784,7 +784,14 @@ def cdf(d, x):
 
 
 def ccdf(d, x):
-    """1 - cdf (Distributions.jl ``ccdf``)."""
+    """1 - cdf (Distributions.jl ``ccdf``). Dispatches to ``d.sf`` so
+    families with a stable survival form (Normal, Exponential, Weibull,
+    LogNormal, Logistic, Cauchy, Pareto, Gumbel, Frechet, Rayleigh,
+    Laplace) stay tail-accurate where ``1 - cdf`` would saturate in f32
+    (cdf rounds to 1 beyond ~1e-7 tail mass); other families fall back
+    to the f32 complement (see ``Distribution.sf``)."""
+    if hasattr(d, "sf"):
+        return d.sf(x)
     return 1.0 - d.cdf(x)
 
 
@@ -793,6 +800,11 @@ def logcdf(d, x):
 
 
 def logccdf(d, x):
+    """log(1 - cdf). Dispatches to ``d.logsf`` — unbounded (tail-exact)
+    for the families listed under ``ccdf``; the generic fallback floors
+    at log(1e-37) ~ -85.2."""
+    if hasattr(d, "logsf"):
+        return d.logsf(x)
     return jnp.log(jnp.maximum(1.0 - d.cdf(x), np.float32(1e-37)))
 
 

@@ -5,10 +5,21 @@ MonteCarloMeasurements.Particles with no convergence diagnostics (its
 AbstractMCMC driver leaves that to MCMCChains.jl). A framework meant for
 production ABC runs needs them in-box: ``ess`` is the
 autocorrelation-time effective sample size (Geyer initial monotone
-positive-sequence truncation, the Stan/ArviZ estimator, Vehtari et al.
-2021 without rank normalization) and ``rhat`` is split-R-hat (Gelman-
-Rubin with each chain split in half, so single-chain nonstationarity is
-also detected).
+positive-sequence truncation, the Stan/ArviZ estimator) and ``rhat`` is
+split-R-hat (Gelman-Rubin with each chain split in half, so
+single-chain nonstationarity is also detected).
+
+Both take ``method=``: the default operates on the raw draws;
+``method="rank"`` is the Vehtari et al. 2021 rank-normalized variant
+that Stan and ArviZ ship as their default — draws are replaced by
+normal scores ``z = ndtri((rank - 3/8) / (S + 1/4))`` (pooled average
+ranks over all split chains), which makes the estimators robust for
+heavy-tailed posteriors (Cauchy-ish ABC marginals) where raw-moment
+estimators mislead. ``ess(method="tail")`` is ArviZ's tail-ESS: the
+min over the 5%/95% quantile-indicator ESS. ``rhat(method="rank")`` is
+``max(R-hat of rank-normalized z, R-hat of rank-normalized folded
+|x - median|)`` — the folded term catches chains that agree in location
+but disagree in scale.
 
 Diagnostics are POST-PROCESSING: host-side numpy on fetched samples
 (never traced, never on device) — a few-thousand-point FFT per
@@ -24,7 +35,7 @@ import math
 
 import numpy as np
 
-__all__ = ["ess", "rhat", "autocovariance"]
+__all__ = ["ess", "rhat", "autocovariance", "rank_normalize"]
 
 
 def _as_chains(x) -> np.ndarray:
@@ -58,6 +69,25 @@ def _split(chains: np.ndarray) -> np.ndarray:
     return np.concatenate([chains[:, :h], chains[:, h:2 * h]], axis=0)
 
 
+def rank_normalize(chains: np.ndarray) -> np.ndarray:
+    """Replace draws by pooled normal scores (Vehtari et al. 2021 §3.1):
+    fractional average ranks over ALL chains' draws combined, mapped
+    through the normal quantile function with Blom's offset,
+    ``z = ndtri((r - 3/8) / (S + 1/4))``. Ties (discrete marginals)
+    share their average rank. Shape-preserving on ``[chains, draws]``."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+    chains = np.asarray(chains, np.float64)
+    r = rankdata(chains, method="average").reshape(chains.shape)
+    return ndtri((r - 0.375) / (chains.size + 0.25))
+
+
+def _fold(chains: np.ndarray) -> np.ndarray:
+    """Fold around the pooled median — turns scale disagreement into
+    location disagreement so split-R-hat can see it."""
+    return np.abs(chains - np.median(chains))
+
+
 def _maybe_multiparam(x):
     """Multi-parameter results (a tuple/list of Particles — the shape
     `sample`/`smc` return for d>1 models) map to per-parameter values.
@@ -70,7 +100,8 @@ def _maybe_multiparam(x):
     return None
 
 
-def ess(x, split: bool = True) -> float:
+def ess(x, split: bool = True,
+        method: str = "mean") -> "float | np.ndarray":
     """Effective sample size of (possibly multi-chain) samples.
 
     Multi-chain rho_t combines within-chain autocovariances with the
@@ -78,10 +109,18 @@ def ess(x, split: bool = True) -> float:
     lags is truncated at the first negative paired sum Gamma_k =
     rho_{2k} + rho_{2k+1} and made monotone (Geyer 1992). ``split=True``
     (default, matching Stan) splits chains in half first.
+
+    ``method``: ``"mean"`` (raw draws — classical ESS of the mean),
+    ``"rank"`` / ``"bulk"`` (rank-normalized bulk ESS, the Stan/ArviZ
+    default estimator), or ``"tail"`` (min of the 5%/95%
+    quantile-indicator ESS, ArviZ's tail-ESS). A tuple/list of
+    ``Particles`` (multi-parameter posteriors) returns a per-parameter
+    ``np.ndarray`` instead of a scalar.
     """
     multi = _maybe_multiparam(x)
     if multi is not None:
-        return np.array([ess(p, split=split) for p in multi])
+        return np.array([ess(p, split=split, method=method)
+                         for p in multi])
     chains = _as_chains(x)
     if chains.shape[1] < 4:
         raise ValueError("ess needs at least 4 draws")
@@ -89,6 +128,22 @@ def ess(x, split: bool = True) -> float:
     # enough draws for the autocovariance to mean anything
     if split and chains.shape[1] >= 8:
         chains = _split(chains)
+    if method in ("rank", "bulk"):
+        chains = rank_normalize(chains)
+    elif method == "tail":
+        qs = np.quantile(chains, [0.05, 0.95])
+        return float(min(
+            _ess_core(rank_normalize(chains <= q)) for q in qs))
+    elif method != "mean":
+        raise ValueError(
+            f"ess method={method!r} not in ('mean', 'rank', 'bulk', "
+            "'tail')")
+    return _ess_core(chains)
+
+
+def _ess_core(chains: np.ndarray) -> float:
+    """Split-ESS estimator on already-split (and possibly
+    rank-normalized) ``[chains, draws]``."""
     m, n = chains.shape
     acov = autocovariance(chains)
     w_t = acov.mean(axis=0)                      # mean autocov per lag
@@ -119,16 +174,33 @@ def ess(x, split: bool = True) -> float:
     return float(min(s / tau, s * math.log10(max(s, 10))))
 
 
-def rhat(x) -> float:
+def rhat(x, method: str = "split") -> "float | np.ndarray":
     """Split-R-hat (Gelman-Rubin with halved chains): sqrt(var+ / W).
-    ~1 at convergence; > ~1.01 signals trouble (Vehtari et al. 2021)."""
+    ~1 at convergence; > ~1.01 signals trouble (Vehtari et al. 2021).
+
+    ``method="split"`` runs on the raw draws; ``method="rank"`` is the
+    Stan/ArviZ default — ``max(split-R-hat of rank-normalized z,
+    split-R-hat of rank-normalized folded |x - median|)``, robust to
+    heavy tails and sensitive to scale (not just location)
+    disagreement. A tuple/list of ``Particles`` returns a
+    per-parameter ``np.ndarray``."""
     multi = _maybe_multiparam(x)
     if multi is not None:
-        return np.array([rhat(p) for p in multi])
+        return np.array([rhat(p, method=method) for p in multi])
     chains = _as_chains(x)
     if chains.shape[1] < 4:
         raise ValueError("rhat needs at least 4 draws")
     chains = _split(chains)
+    if method == "rank":
+        return float(max(_rhat_core(rank_normalize(chains)),
+                         _rhat_core(rank_normalize(_fold(chains)))))
+    if method != "split":
+        raise ValueError(
+            f"rhat method={method!r} not in ('split', 'rank')")
+    return _rhat_core(chains)
+
+
+def _rhat_core(chains: np.ndarray) -> float:
     m, n = chains.shape
     w = chains.var(axis=1, ddof=1).mean()
     b = chains.mean(axis=1).var(ddof=1)
