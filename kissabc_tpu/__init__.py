@@ -49,7 +49,7 @@ from .distributions import (  # noqa: F401
 )
 from .particles import (  # noqa: F401
     Particles, chainsstack, hpdi, particles_from_tree, pmap_apply,
-    pmean, pstd, pmedian, pquantile,
+    pmean, pstd, pmedian, pquantile, sigmapoints, pm, plus_minus,
 )
 from .statistics import (  # noqa: F401
     mean, var, std, median, mode, skewness, kurtosis, entropy,

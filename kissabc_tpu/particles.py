@@ -22,13 +22,36 @@ class Particles:
     """A 1-D cloud of samples for one scalar quantity.
 
     Construct from an array of samples — ``Particles(samples)`` — or,
-    MonteCarloMeasurements-style, by sampling a distribution:
-    ``Particles(2000, Normal(0, 1), key=0)`` (MCM's
-    ``Particles(N, dist)`` idiom)."""
+    MonteCarloMeasurements-style: ``Particles(2000, Normal(0, 1),
+    key=0)`` (MCM's ``Particles(N, dist)``), ``Particles(2000)``
+    (systematic standard normal, MCM's ``Particles(N)``), or
+    ``Particles(matrix)`` (rows = particles, columns = quantities —
+    returns a LIST of clouds, MCM's ``Particles(::Matrix)``)."""
 
     __array_priority__ = 100  # beat ndarray in mixed binary ops
 
+    def __new__(cls, x, dist=None, key=0):
+        # MCM's Particles(::Matrix): rows are particles, columns are
+        # quantities -> a LIST of per-column clouds. This is the shape
+        # sigmapoints() returns, so the reference workflow
+        # `Particles(sigmapoints(mean(R), cov(R)))` (smc.jl:234,269)
+        # ports verbatim.
+        if dist is None and not isinstance(x, (int, np.integer)):
+            arr = np.asarray(x)
+            if arr.ndim == 2:
+                return [cls(col) for col in arr.T]
+        return super().__new__(cls)
+
     def __init__(self, x, dist=None, key=0):
+        if dist is None and isinstance(x, (int, np.integer)):
+            # MCM's Particles(N): N standard-normal SYSTEMATIC samples
+            # (exact midpoint quantiles, permuted so independently
+            # constructed clouds don't correlate pairwise)
+            from scipy.special import ndtri
+            n = int(x)
+            z = ndtri((np.arange(n) + 0.5) / n)
+            self.particles = np.random.default_rng(int(key)).permutation(z)
+            return
         if dist is not None:
             import jax
             if getattr(dist, "event_dim", 0) != 0:
@@ -290,3 +313,39 @@ def pcor(ps):
     """Correlation matrix across aligned Particles clouds."""
     m = np.stack([p.particles for p in ps])
     return np.corrcoef(m)
+
+
+def sigmapoints(m, S):
+    """Unscented-transform sigma points from a mean vector and
+    covariance matrix — MonteCarloMeasurements' ``sigmapoints(m, Σ)``,
+    used in the reference's own workflow snippets
+    (``/root/reference/src/smc.jl:234,269``).
+
+    Returns ``[2n+1, n]``: the mean row plus ``m ± columns of
+    chol(n·Σ)``. The UNWEIGHTED sample mean/covariance (ddof=1) of the
+    returned points reproduce ``m``/``S`` exactly, so
+    ``Particles(sigmapoints(m, S))`` is a minimal cloud with the right
+    first two moments. ``m`` may be a scalar with scalar variance
+    (n = 1), or a tuple of Particles (mean/cov are taken from the
+    cloud)."""
+    if isinstance(m, (tuple, list)) and m and all(
+            isinstance(p, Particles) for p in m):
+        S = pcov(m)
+        m = np.array([p.mean() for p in m])
+    m = np.atleast_1d(np.asarray(m, np.float64))
+    n = m.shape[0]
+    S = np.asarray(S, np.float64)
+    if S.ndim == 0:
+        S = S * np.eye(n)
+    L = np.linalg.cholesky(n * S)
+    return np.vstack([m[None, :], m + L.T, m - L.T])
+
+
+def pm(mu, sigma, n=2000, key=0):
+    """``mu ± sigma`` — MCM's ``±`` constructor sugar (Python has no ±
+    operator): a systematic-normal cloud with exact mean ``mu`` and
+    spread ``sigma``. ``plus_minus`` is the spelled-out alias."""
+    return mu + sigma * Particles(n, None, key)
+
+
+plus_minus = pm

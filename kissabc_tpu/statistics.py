@@ -312,10 +312,22 @@ def _is_cloud(d):
         not isinstance(d, D.Distribution)
 
 
+def _particles_list(d):
+    """A tuple/list of Particles is a MULTIVARIATE cloud (the result
+    shape samplers return for d > 1) — statistics map per component,
+    so the reference's ``sigmapoints(mean(R), cov(R))`` workflow
+    (smc.jl:234) ports verbatim."""
+    return (isinstance(d, (tuple, list)) and len(d) > 0
+            and all(isinstance(p, Particles) for p in d))
+
+
 def mean(d):
-    """Distributions.jl ``mean(d)`` (also accepts a Particles cloud)."""
+    """Distributions.jl ``mean(d)`` (also accepts a Particles cloud;
+    a tuple/list of Particles returns the per-component mean vector)."""
     if isinstance(d, Particles):
         return d.mean()
+    if _particles_list(d):
+        return np.array([p.mean() for p in d])
     if _is_cloud(d):
         return float(np.mean(np.asarray(d)))
     if isinstance(d, D.Factored):
@@ -378,6 +390,8 @@ def var(d):
     variance 1 - I1(k)/I0(k) (Distributions.jl semantics)."""
     if isinstance(d, Particles):
         return d.std() ** 2
+    if _particles_list(d):
+        return np.array([p.std() ** 2 for p in d])
     if _is_cloud(d):
         return float(np.var(np.asarray(d), ddof=1))
     if isinstance(d, D.Factored):
@@ -426,7 +440,10 @@ def std(d):
 
 def cov(d):
     """Covariance matrix of a vector-variate distribution (also accepts
-    a Particles tuple/cloud matrix via particles.pcov)."""
+    a Particles tuple/list via particles.pcov)."""
+    if _particles_list(d):
+        from .particles import pcov
+        return pcov(d)
     if isinstance(d, D.MvNormal):
         return np.asarray(d.cov, np.float64)
     if isinstance(d, D.MvLogNormal):
@@ -452,6 +469,8 @@ def cov(d):
 def median(d):
     if isinstance(d, Particles):
         return d.median()
+    if _particles_list(d):
+        return np.array([p.median() for p in d])
     if _is_cloud(d):
         return float(np.median(np.asarray(d)))
     if isinstance(d, D.Factored):

@@ -118,3 +118,75 @@ def test_multiparam_tuple_input():
     chains = [rng.standard_normal(500), rng.standard_normal(500)]
     assert np.isscalar(rhat(np.stack(chains))) or np.ndim(
         rhat(np.stack(chains))) == 0
+
+
+def test_rank_normalize_scipy_oracle():
+    """The rank-normal transform must equal the scipy composition
+    ndtri((rankdata - 3/8)/(S + 1/4)) — the ArviZ/Stan z-scale
+    (Vehtari et al. 2021 §3.1). ArviZ itself is not in this image, but
+    its transform IS this composition, and the downstream estimator is
+    the already-oracled split ESS."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+    from kissabc_tpu.utils.diagnostics import rank_normalize
+    rng = np.random.default_rng(11)
+    x = rng.standard_cauchy((3, 50))
+    x[0, :5] = x[1, :5]  # exercise the tie path
+    expect = ndtri((rankdata(x, method="average").reshape(x.shape)
+                    - 0.375) / (x.size + 0.25))
+    np.testing.assert_allclose(rank_normalize(x), expect, rtol=1e-12)
+
+
+def test_rank_ess_iid_near_nominal():
+    rng = np.random.default_rng(5)
+    for sample in (rng.standard_normal((4, 1000)),
+                   rng.standard_cauchy((4, 1000))):
+        for method in ("rank", "bulk", "tail"):
+            e = ess(sample, method=method)
+            assert 0.7 * 4000 < e < 1.3 * 4000, (method, e)
+
+
+def test_rank_ess_heavy_tail_robustness():
+    """An AR(1)-correlated heavy-tailed chain: the raw-moment ESS is
+    dominated by single extreme draws (high variance run-to-run), the
+    rank ESS must sit stably near the AR(1) nominal ESS
+    n*(1-phi)/(1+phi)."""
+    phi, n = 0.7, 4000
+    nominal = n * (1 - phi) / (1 + phi)
+    rng = np.random.default_rng(17)
+    z = np.empty(n)
+    z[0] = rng.standard_normal()
+    for i in range(1, n):
+        z[i] = phi * z[i - 1] + np.sqrt(1 - phi**2) * rng.standard_normal()
+    from scipy.stats import norm, cauchy
+    heavy = cauchy.ppf(norm.cdf(z))  # Cauchy marginal, same copula
+    e_rank = ess(heavy, method="rank")
+    assert 0.6 * nominal < e_rank < 1.6 * nominal, (e_rank, nominal)
+
+
+def test_rank_rhat_catches_scale_disagreement():
+    """Chains agreeing in location but not scale: split-R-hat is blind
+    (between-chain mean variance ~ 0), the folded term in rank-R-hat
+    must flag it — the Vehtari et al. 2021 motivating example."""
+    rng = np.random.default_rng(23)
+    x = np.vstack([rng.standard_normal((2, 1000)),
+                   5.0 * rng.standard_normal((2, 1000))])
+    assert rhat(x) < 1.05
+    assert rhat(x, method="rank") > 1.1
+    # well-mixed chains stay ~1 under both
+    g = rng.standard_normal((4, 1000))
+    assert rhat(g, method="rank") < 1.01
+
+
+def test_diagnostics_method_validation_and_multiparam():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 100))
+    with pytest.raises(ValueError, match="method"):
+        ess(x, method="bogus")
+    with pytest.raises(ValueError, match="method"):
+        rhat(x, method="bogus")
+    import kissabc_tpu as ka
+    ps = [ka.Particles(rng.standard_normal(256)) for _ in range(3)]
+    e = ess(ps, method="rank")
+    r = rhat(ps, method="rank")
+    assert e.shape == (3,) and r.shape == (3,)
