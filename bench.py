@@ -18,10 +18,16 @@ formal benchmarks — BASELINE.md).
 Robustness (this harness runs under `timeout 590` on a tunneled axon TPU
 where a cold remote compile can cost minutes and the tunnel can stall
 transiently):
-  * The parent process NEVER initializes JAX. Each bench row runs in its
-    own child process (`bench.py --row NAME`) under a hard
-    subprocess timeout, so no single stuck compile or wedged tunnel can
-    eat the whole budget.
+  * The parent process NEVER initializes JAX. Rows run in child
+    processes (`bench.py --rows A,B,C`) that emit incremental
+    `STAGE start`/`ROW name {json}` lines; the parent watchdogs the
+    stream and, on a per-row stall (cache-miss compile, wedged tunnel),
+    kills the child's process group and RESTARTS it on the rows after
+    the stalled one — one bad row costs its stall window, not the tail
+    (r2 lost five rows to three sequential 60 s timeouts).
+  * Cheap rows share one child (one interpreter + jax import + cache
+    load, ~6 s, instead of five); expensive/flaky rows get their own
+    child under a hard cap.
   * A do-nothing `warmup` row runs first to absorb the tunnel's
     cold-attach stall (first device op after TPU idle: 2-4 min; warm:
     ~1 s, and warmth carries across processes) so the stall can never
@@ -29,8 +35,10 @@ transiently):
   * Every child enables the persistent compilation cache
     (.jax_cache/, committed to the repo) — repeat runs, including the
     driver's end-of-round run, compile in <1 s per program.
-  * Rows are ordered headline-first and budget-gated: diagnostics are
-    skipped once the wall-clock budget is spent.
+  * Row order is information-priority: headline first, then the
+    README correctness oracle (smc-parity) and the reference wall-clock
+    claim, perf diagnostics after — when the budget dies, parity
+    survives.
 
 Timing notes: on the tunneled axon backend ``block_until_ready`` can
 return before execution finishes, so every timed region ends with a
@@ -453,45 +461,154 @@ ROWS = {
 }
 
 
-def _child_main(name):
-    res = ROWS[name]()
-    print("ROW " + json.dumps(res), flush=True)
+def _group_main(names):
+    """Child-side: run several rows sequentially in ONE process (one
+    interpreter start + jax import + cache load for all of them — the
+    r2 driver run burned ~5-8 s x 11 children on fixed overhead).
+    Emits incremental `STAGE start <row>` / `ROW <row> {json}` /
+    `ROWERR <row> msg` lines so the parent can watchdog per-row
+    progress and salvage completed rows if a later one wedges."""
+    for name in names:
+        print(f"STAGE start {name}", flush=True)
+        t0 = time.perf_counter()
+        try:
+            res = ROWS[name]()
+        except Exception as e:  # a failed row must not kill its group
+            msg = repr(e).replace("\n", " ")[:300]
+            print(f"ROWERR {name} {msg}", flush=True)
+            continue
+        res["_row_s"] = round(time.perf_counter() - t0, 1)
+        print(f"ROW {name} " + json.dumps(res), flush=True)
 
 
 # --------------------------------------------------------------------------
 # Parent-side orchestration (no JAX in this process).
 # --------------------------------------------------------------------------
 
-def run_row(name, timeout_s):
-    """Run one bench row in a child process under a hard timeout. Returns
-    the row's result dict or None. Tunnel/remote-compile flakiness must
-    never kill the harness or cost the headline JSON line."""
+def _drain_readers(p, q, on_line, deadline, stall_s):
+    """Pump child output until exit/deadline/stall. Returns
+    ('exit', rc) | ('timeout', None) | ('stall', None)."""
+    import queue as _q
+    last_line = time.perf_counter()
+    open_streams = 2
+    while True:
+        now = time.perf_counter()
+        if now > deadline:
+            return ("timeout", None)
+        if now - last_line > stall_s:
+            return ("stall", None)
+        try:
+            tag, line = q.get(timeout=0.5)
+        except _q.Empty:
+            if p.poll() is not None and open_streams == 0:
+                return ("exit", p.returncode)
+            continue
+        if line is None:
+            open_streams -= 1
+            continue
+        last_line = now
+        on_line(tag, line)
+
+
+def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
+    """Run rows (one child process, sequential) with a streaming
+    watchdog: if the child goes `stall_s` with no output line — a warm
+    row always prints STAGE/ROW lines well inside that — it is killed
+    and RESTARTED on the rows after the stalled one, so one cache-miss
+    compile costs one row, not the whole tail (the r2 failure mode:
+    three 60 s row timeouts burned 164 s for zero numbers). Returns
+    {row: result} for rows that landed."""
+    import subprocess as sp
+    import threading
+    import queue as _q
+
+    results = {} if results is None else results
+    pending = [n for n in names if n not in results]
+    while pending:
+        cap = min(total_cap, remaining() - 10)
+        if cap < 20:
+            for n in pending:
+                log(f"ROW SKIPPED [{n}]: {cap:.0f}s left < 20s floor")
+            return results
+        state = {"row": None, "t0": time.perf_counter()}
+
+        def on_line(tag, line, state=state):
+            if tag == "err":
+                if "Platform 'axon' is experimental" not in line:
+                    log(f"  [{label or state['row'] or '?'}] {line}")
+                return
+            if line.startswith("STAGE start "):
+                state["row"] = line.split()[-1]
+                state["t0"] = time.perf_counter()
+                return
+            if line.startswith("ROWERR "):
+                _, name, msg = line.split(" ", 2)
+                log(f"ROW FAILED [{name}]: {msg}")
+                return
+            if line.startswith("ROW "):
+                _, name, payload = line.split(" ", 2)
+                try:
+                    res = json.loads(payload)
+                except json.JSONDecodeError:
+                    log(f"ROW FAILED [{name}]: bad JSON payload")
+                    return
+                dt = time.perf_counter() - state["t0"]
+                results[name] = res
+                log(f"ROW OK [{name}] ({dt:.0f}s): "
+                    + json.dumps(res, default=str))
+
+        p = sp.Popen(
+            [sys.executable, os.path.abspath(__file__), "--rows",
+             ",".join(pending)],
+            stdout=sp.PIPE, stderr=sp.PIPE, text=True, cwd=REPO,
+            start_new_session=True)
+        q = _q.Queue()
+
+        def reader(stream, tag):
+            for line in iter(stream.readline, ""):
+                q.put((tag, line.rstrip("\n")))
+            q.put((tag, None))
+
+        threads = [threading.Thread(target=reader, args=(p.stdout, "out"),
+                                    daemon=True),
+                   threading.Thread(target=reader, args=(p.stderr, "err"),
+                                    daemon=True)]
+        for t in threads:
+            t.start()
+        why, _rc = _drain_readers(p, q, on_line,
+                                  time.perf_counter() + cap, stall_s)
+        if why == "exit":
+            return results
+        # timeout/stall: kill the whole child process group (exact pids
+        # we own — never pattern kills) and salvage the rows after the
+        # one that wedged
+        import signal
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+        p.wait()
+        stuck = state["row"] or pending[0]
+        log(f"ROW {'TIMEOUT' if why == 'timeout' else 'STALLED'} "
+            f"[{stuck}] after "
+            f"{time.perf_counter() - state['t0']:.0f}s; salvaging "
+            "the rows after it")
+        if stuck in pending:
+            pending = pending[pending.index(stuck) + 1:]
+        else:  # defensive: drop head so we always make progress
+            pending = pending[1:]
+    return results
+
+
+def run_row(name, timeout_s, stall_s=None):
+    """Single-row convenience wrapper over run_rows. A singleton's
+    stall window IS its cap (sweep-xla runs 47-66 s with no output;
+    the 75 s group default is for multi-row salvage)."""
     if timeout_s < 20:
         log(f"ROW SKIPPED [{name}]: {timeout_s:.0f}s left < 20s floor")
         return None
-    t0 = time.perf_counter()
-    try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--row", name],
-            timeout=timeout_s, capture_output=True, text=True, cwd=REPO)
-    except subprocess.TimeoutExpired:
-        log(f"ROW TIMEOUT [{name}] after {timeout_s:.0f}s")
-        return None
-    dt = time.perf_counter() - t0
-    for line in (p.stderr or "").splitlines():
-        if "Platform 'axon' is experimental" not in line:
-            log(f"  [{name}] {line}")
-    if p.returncode != 0:
-        log(f"ROW FAILED [{name}] rc={p.returncode}")
-        return None
-    for line in p.stdout.splitlines():
-        if line.startswith("ROW "):
-            res = json.loads(line[4:])
-            log(f"ROW OK [{name}] ({dt:.0f}s): "
-                + json.dumps(res, default=str))
-            return res
-    log(f"ROW FAILED [{name}]: no ROW line in stdout")
-    return None
+    return run_rows([name], timeout_s,
+                    stall_s=stall_s or timeout_s).get(name)
 
 
 _printed_headline = [0.0]
@@ -510,6 +627,16 @@ def emit_headline(ups):
         }), flush=True)
 
 
+def log_utilization(roof):
+    if roof and _printed_headline[0]:
+        # headline updates/s x 1000 normals/update vs the bare kernel
+        util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
+        log(f"utilization: headline sweep runs at {util:.0%} of the "
+            f"raw {roof['normals_per_s'] / 1e9:.1f} Gnormals/s "
+            "generator kernel (speed-of-light proxy for this "
+            "simulator-bound workload)")
+
+
 def main():
     log(f"bench budget: {BUDGET_S:.0f}s; cache dir: "
         f"{os.path.join(REPO, '.jax_cache')}")
@@ -517,75 +644,61 @@ def main():
     # Cold-attach absorber first (see row_warmup): the first device op
     # after TPU idle stalls 2-4 min regardless of which child issues it.
     # Give it everything except a reserve for the headline row itself;
-    # once it lands, every real row runs warm (8-40 s with the committed
-    # compile cache).
-    warm = run_row("warmup", remaining() - 150)
+    # once it lands, every real row runs warm (6-45 s with the committed
+    # compile cache). stall_s = the full cap: silence IS this row's job.
+    warm = run_row("warmup", remaining() - 150,
+                   stall_s=max(remaining() - 150, 60))
     if warm:
         log(f"tunnel attach: {warm['attach_s']:.0f}s")
 
     # Headline: the Pallas-cost sweep is the known winner (~100M
-    # updates/s; ~11s warm including cache loads).
+    # updates/s; ~17 s warm including cache loads).
     pallas = run_row("sweep-pallas", min(remaining() - 60, 150))
     if pallas:
         emit_headline(pallas["updates_per_s"])
 
-    # iters=500 makes these two slower than the other diagnostics
-    # (sweep-xla ~23s, sweep-fused ~38s warm): 90s caps
-    xla = run_row("sweep-xla", min(remaining() - 45, 90))
+    # One grouped child for the cheap rows (one interpreter + jax
+    # import + cache load instead of five). Order inside the group =
+    # information priority: the README correctness oracle (smc-parity)
+    # and the reference's wall-clock claim land FIRST, perf diagnostics
+    # after — when the budget dies mid-group, parity survives (r2
+    # inverted this and lost parity to diagnostics).
+    group = run_rows(
+        ["smc-parity", "ais-wallclock", "roofline", "ais-sweep",
+         "mcmc-sweep"],
+        total_cap=remaining() - 120, label="group")
+    log_utilization(group.get("roofline"))
+    if not pallas and group.get("ais-sweep"):
+        # sweep-pallas failed: the AIS sweep number keeps the headline
+        # non-zero until the retry slot below
+        emit_headline(group["ais-sweep"]["updates_per_s"])
+
+    # Expensive/flaky rows, each in its own child under a hard cap.
+    run_row("rejection", min(remaining() - 90, 90))
+    xla = run_row("sweep-xla", min(remaining() - 60, 90))
     if xla:
         emit_headline(xla["updates_per_s"])
-
-    fused = run_row("sweep-fused", min(remaining() - 30, 90))
+    fused = run_row("sweep-fused", min(remaining() - 40, 60))
     if fused:
         emit_headline(fused["updates_per_s"])
-
-    ais_ran = False
-    if not _printed_headline[0]:
-        # both sweep variants failed: fall back to the AIS sweep number
-        ais = run_row("ais-sweep", remaining() - 40)
-        ais_ran = True
-        if ais:
-            emit_headline(ais["updates_per_s"])
-
-    # Diagnostics, budget-gated, cheapest-information-first. Warm rows
-    # take 6-15 s; the 60 s cap means a transiently stuck or cache-miss
-    # row is abandoned quickly instead of starving everything behind it.
-    def cap():
-        return min(remaining() - 30, 60)
-
-    def log_utilization(roof):
-        if roof and _printed_headline[0]:
-            # headline updates/s x 1000 normals/update vs the bare kernel
-            util = _printed_headline[0] * 1000.0 / roof["normals_per_s"]
-            log(f"utilization: headline sweep runs at {util:.0%} of the "
-                f"raw {roof['normals_per_s'] / 1e9:.1f} Gnormals/s "
-                "generator kernel (speed-of-light proxy for this "
-                "simulator-bound workload)")
-
-    roof = run_row("roofline", cap())
-    log_utilization(roof)
-    if not ais_ran:
-        run_row("ais-sweep", cap())
-    run_row("mcmc-sweep", cap())
-    run_row("smc-parity", cap())
-    run_row("ais-wallclock", cap())
-    # warm runtime 37-44 s — needs more stall headroom than the 60 s cap
-    run_row("rejection", min(remaining() - 30, 90))
 
     # Retry BEFORE the g-and-k tail row: if the winning Pallas row
     # failed earlier (transient tunnel stall), give it one more clean
     # shot while budget remains — g-and-k must not starve the headline.
-    if not pallas and remaining() > 40:
+    if not pallas and remaining() > 60:
         pallas = run_row("sweep-pallas", remaining() - 40)
         if pallas:
             emit_headline(pallas["updates_per_s"])
     run_row("g-and-k", min(remaining() - 10, 120))
 
     # transient tunnel stalls occasionally eat one diagnostic row; give
-    # the roofline (the utilization denominator) a second shot if budget
-    # remains
-    if not roof and remaining() > 70:
-        log_utilization(run_row("roofline", 60))
+    # the stragglers a second shot if budget remains
+    retry = [n for n in ("smc-parity", "ais-wallclock", "roofline",
+                         "ais-sweep", "mcmc-sweep") if n not in group]
+    if retry and remaining() > 40:
+        run_rows(retry, total_cap=remaining() - 10, results=group,
+                 label="retry")
+        log_utilization(group.get("roofline"))
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records
@@ -597,7 +710,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
-        _child_main(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] in ("--row", "--rows"):
+        _group_main(sys.argv[2].split(","))
     else:
         main()
