@@ -188,9 +188,12 @@ def row_sweep(pallas: bool):
 
 
 def row_sweep_fused():
-    """Headline candidate: the fully-fused one-kernel sweep (proposal +
-    prior gate + MH draw + simulator + commit inside one pallas_call;
-    partner diffs via two contiguous XLA rolls). TPU only."""
+    """The fully-fused one-kernel sweep (proposal + prior gate + MH draw
+    + simulator + commit inside one pallas_call; partner diffs via two
+    contiguous XLA rolls). Since the r3 dense-layout fix this is the
+    FASTEST sweep (138.7M vs the split path's 135.5M updates/s) — the
+    r2 'loses at 54M' result was the [n,1] boundary-copy tax, not the
+    fusion. TPU only."""
     jax = _child_init()
     from kissabc_tpu.ops.pallas_kernels import make_fused_flagship_sweep
 
@@ -651,11 +654,16 @@ def main():
     if warm:
         log(f"tunnel attach: {warm['attach_s']:.0f}s")
 
-    # Headline: the Pallas-cost sweep is the known winner (~100M
-    # updates/s; ~17 s warm including cache loads).
+    # Headline: the split Pallas-cost sweep lands a strong number first
+    # (~135M updates/s; ~11 s warm including cache loads), then the
+    # fused one-kernel sweep — the known winner since the r3 dense-
+    # layout fix (~139M) — improves it.
     pallas = run_row("sweep-pallas", min(remaining() - 60, 150))
     if pallas:
         emit_headline(pallas["updates_per_s"])
+    fused = run_row("sweep-fused", min(remaining() - 60, 90))
+    if fused:
+        emit_headline(fused["updates_per_s"])
 
     # One grouped child for the cheap rows (one interpreter + jax
     # import + cache load instead of five). Order inside the group =
@@ -678,9 +686,6 @@ def main():
     xla = run_row("sweep-xla", min(remaining() - 60, 90))
     if xla:
         emit_headline(xla["updates_per_s"])
-    fused = run_row("sweep-fused", min(remaining() - 40, 60))
-    if fused:
-        emit_headline(fused["updates_per_s"])
 
     # Retry BEFORE the g-and-k tail row: if the winning Pallas row
     # failed earlier (transient tunnel stall), give it one more clean

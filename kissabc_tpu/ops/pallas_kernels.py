@@ -302,7 +302,17 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # dense [npad/128, 128] walker view (see normal_summary_cost: [n,1]
+    # columns forced 128x-padded tilings and boundary layout copies on
+    # all 6 inputs + 5 outputs). Mosaic requires block rows divisible
+    # by 8 -> block multiple of 1024 on hardware (interpret mode only
+    # needs the lane width).
+    if block % (128 if interpret else 1024):
+        raise ValueError(
+            f"block must be a multiple of {128 if interpret else 1024}, "
+            f"got {block}")
     npad = _plan_tiles(n, block, 1)[0]  # same pow2 bucketing policy
+    rpb = block // 128
     nchunks = -(-ndraws // (2 * chunk))
     exp_one = np.uint32(0x3F800000)
     inv_n = np.float32(1.0 / ndraws)
@@ -336,7 +346,7 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
         pid = pl.program_id(0)
         if bits == "hw":
             pltpu.prng_seed(seed_ref[0] + pid)
-        col = (block, 1)
+        col = (rpb, 128)
 
         # per-walker randomness: proposal scale w ~ N(0,1), MH log-u
         u1 = to_unit(rbits(pid, seed_ref[0], 10_000, col))
@@ -382,10 +392,12 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
                 + jnp.sum(zb * zb, axis=1, keepdims=True)
             return s1, s2
 
-        zero = jnp.zeros(col, jnp.float32)
+        # slab sums accumulate as (block,1) columns (walker on sublane),
+        # then relayout once into the dense (rpb,128) walker view
+        zero = jnp.zeros((block, 1), jnp.float32)
         s1, s2 = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
-        mz = s1 * inv_n
-        vz = s2 * inv_n - mz * mz
+        mz = (s1 * inv_n).reshape(rpb, 128)
+        vz = (s2 * inv_n).reshape(rpb, 128) - mz * mz
         d1 = (pmu + psg * mz) - f_tmu
         d2 = (psg * jnp.sqrt(jnp.maximum(vz, 0.0)) - f_tsd) * f_w
         xp = jnp.sqrt(d1 * d1 + d2 * d2)
@@ -395,15 +407,16 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
         osg_ref[:] = jnp.where(commit, psg, sg)
         oxs_ref[:] = jnp.where(commit, xp, xs_ref[:])
         olps_ref[:] = jnp.where(commit, lpp, lps)
-        # commit mask as a full column: Mosaic requires output block
-        # shapes tiled (8,128)-compatible or whole-array, so a per-block
-        # (1,1) scalar accumulator cannot lower — sum on the XLA side
+        # commit mask as a full dense block: a per-block (1,1) scalar
+        # accumulator cannot lower in Mosaic — sum on the XLA side
         ocm_ref[:] = commit.astype(jnp.float32)
 
-    def pad(x):
-        return jnp.pad(x, (0, npad - n)).reshape(npad, 1)
+    R = npad // 128
 
-    colspec = pl.BlockSpec((block, 1), lambda i: (i, 0),
+    def pad(x):
+        return jnp.pad(x, (0, npad - n)).reshape(R, 128)
+
+    colspec = pl.BlockSpec((rpb, 128), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
@@ -412,18 +425,20 @@ def _fused_sweep_call(mu, sg, dmu, dsg, xs, lps, eps, seed, *, n,
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [colspec] * 6,
         out_specs=[colspec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((npad, 1), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 5,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
     )(jnp.asarray(seed, jnp.uint32).reshape(1),
       jnp.asarray(eps, jnp.float32).reshape(1),
       pad(mu), pad(sg), pad(dmu), pad(dsg), pad(xs),
       # pad lps with +inf: lpp - inf = -inf makes gate1 false, so
       # padding walkers can never commit
       jnp.pad(lps, (0, npad - n),
-              constant_values=np.float32(np.inf)).reshape(npad, 1))
+              constant_values=np.float32(np.inf)).reshape(R, 128))
     omu, osg, oxs, olps, ocm = outs
-    return (omu[:n, 0], osg[:n, 0], oxs[:n, 0], olps[:n, 0],
-            jnp.sum(ocm).astype(jnp.int32))
+    return (tuple(o.reshape(npad)[:n] for o in (omu, osg, oxs, olps))
+            + (jnp.sum(ocm).astype(jnp.int32),))
 
 
 def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
@@ -433,7 +448,7 @@ def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
                               max_stretch: float = 2.0,
                               mu_lo: float = 1.0, mu_hi: float = 3.0,
                               sg_sigma: float = 0.05, sg_lo: float = 0.0,
-                              sg_hi: float = 100.0, block: int = 512,
+                              sg_hi: float = 100.0, block: int = 2048,
                               chunk: int = 512, interpret: bool = False,
                               bits: str = "hw"):
     """Fused one-kernel SMC sweep for the flagship model. Returns
@@ -442,10 +457,13 @@ def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
     The key only seeds the in-kernel hardware PRNG and draws the two
     rotation shifts; partner differences are two contiguous rolls.
 
-    block=512 (not 1024 like the cost-only kernel): the fused body keeps
-    ~10 (block, chunk) f32 temporaries live (two Box-Muller halves plus
-    masks for both), and block=1024 overflows the 16 MB scoped-VMEM
-    stack limit (19.8 MB) on v5e."""
+    block=2048 with the 64 MB scoped-VMEM raise (the r2 block=512 note
+    predated the raise: the fused body keeps ~10 (block, chunk) f32
+    temporaries live and 1024 overflowed the 16 MB default stack; v5e
+    has 128 MB physical VMEM). Measured at n=131072: 2048/512 138.7M,
+    1024/512 137.6M, 1024/1024 85.1M (spills) updates/s. Hardware
+    requires block % 1024 == 0 for the dense walker view;
+    interpret-mode tests may use any multiple of 128."""
 
     def step(key, thetas, xs, lps, eps):
         mu, sg = thetas
