@@ -230,12 +230,15 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto"):
 
     # --- walk (transition.jl:24-43) -----------------------------------
     twa, twb, twc = _partners((kwa, kwb, kwc), comp, h, hc, 3, scheme)
-    r = jax.random.normal(kwr, (h, 3), _f32)
+    # (3, h), not (h, 3): a [h,3] f32 tiles as T(4,128) with 125/128
+    # lanes padded — profiled at ~35 us/sweep of pure layout waste; the
+    # row-major (3, h) draw is dense and each row is a contiguous [h]
+    r = jax.random.normal(kwr, (3, h), _f32)
     def mk_walk(xi, xa, xb, xc):
         cen = (xa + xb + xc) / 3.0
-        w = (_bshape(r[:, 0], xi) * (xa - cen)
-             + _bshape(r[:, 1], xi) * (xb - cen)
-             + _bshape(r[:, 2], xi) * (xc - cen))
+        w = (_bshape(r[0], xi) * (xa - cen)
+             + _bshape(r[1], xi) * (xb - cen)
+             + _bshape(r[2], xi) * (xc - cen))
         return xi + w
     p_w = tree_map(mk_walk, half, twa, twb, twc)
 
