@@ -71,6 +71,9 @@ from .utils import checkpoint  # noqa: F401
 from .utils.logging import IterLog, trace  # noqa: F401
 from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
+from .ops.pallas_kernels import (  # noqa: F401
+    make_streaming_moment_cost, shard_batched_cost,
+)
 
 __version__ = "0.2.0"
 from .particles import pcov, pcor  # noqa: F401
