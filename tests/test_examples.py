@@ -55,3 +55,14 @@ def test_example_workflow(capsys):
     runpy.run_path(path, run_name="__main__")  # asserts internally
     out = capsys.readouterr().out
     assert "rhat" in out and "posterior predictive" in out
+
+
+def test_example_streaming_sim(capsys):
+    """Weibull inference with the streaming-moment hw-PRNG cost (off-TPU
+    this exercises the vmapped-threefry fallback path end to end)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_streaming_sim.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "shape k" in out and "scale lam" in out
