@@ -518,7 +518,8 @@ def shard_batched_cost(cost_batched, mesh, axis: str = "walker"):
 
 
 def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
-                               ndraws: int = 1000, noise: str = "normal",
+                               stats=None, ndraws: int = 1000,
+                               noise: str = "normal",
                                block: int = 1024, chunk: int = 512,
                                walker_tiles: int = 8, bits: str = "hw",
                                interpret: bool | None = None):
@@ -551,6 +552,16 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
         Plain XLA, batched: ``thetas`` leaves are [n] arrays and
         ``moments`` is a tuple of ``nmoments`` [n] arrays of raw
         moments E[x^p]. Convert to central moments here as needed.
+    stats : optional sequence of elementwise callables ``g_j(x)``
+        Generalized summaries: when given, the kernel streams
+        ``E[g_j(x)]`` for each ``g_j`` instead of raw moments
+        (``nmoments`` is ignored) and ``reduce_cost`` receives that
+        tuple. ecdf probes ``lambda x: (x < t).astype(jnp.float32)``
+        make order-statistic-style summaries (octiles, medians)
+        streamable: match empirical CDF values at fixed probe points
+        instead of matching quantiles — the information content is the
+        same binned-distribution comparison. Each ``g_j`` runs inside
+        the Mosaic kernel: elementwise jnp only.
     noise : 'normal' (standard normals via Box-Muller, both halves) or
         'uniform' (the raw U[0,1) variates, 23-bit mantissa).
     interpret : None (auto: interpret off-TPU), or force.
@@ -575,8 +586,16 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if nmoments < 1 or nmoments > 8:
-        raise ValueError(f"nmoments must be in [1, 8], got {nmoments}")
+    if stats is not None:
+        stats = tuple(stats)
+        if not 1 <= len(stats) <= 16:
+            raise ValueError(f"stats must have 1..16 entries, "
+                             f"got {len(stats)}")
+        nstats = len(stats)
+    else:
+        if nmoments < 1 or nmoments > 8:
+            raise ValueError(f"nmoments must be in [1, 8], got {nmoments}")
+        nstats = nmoments
     if noise not in ("normal", "uniform"):
         raise ValueError(f"noise must be 'normal' or 'uniform', "
                          f"got {noise!r}")
@@ -611,7 +630,7 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                 ths = [r[rows, :] for r in th_refs]        # (1,128) each
                 theta = jax.tree_util.tree_unflatten(treedef, ths)
                 sums = [jnp.zeros((1, 128), jnp.float32)
-                        for _ in range(nmoments)]
+                        for _ in range(nstats)]
 
                 for j in range(nchunks):
                     if bits == "hw":
@@ -638,17 +657,32 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                         if start >= ndraws:
                             continue
                         x = jnp.asarray(draw(theta, eps), jnp.float32)
+                        valid = None
                         if start + chunk > ndraws:  # boundary mask
                             sub = jax.lax.broadcasted_iota(
                                 jnp.int32, shape, 0)
-                            x = jnp.where(start + sub < ndraws, x, 0.0)
-                        xp = x
-                        for p in range(nmoments):
-                            sums[p] = sums[p] + jnp.sum(
-                                xp, axis=0, keepdims=True)
-                            if p + 1 < nmoments:
-                                xp = xp * x
-                for p in range(nmoments):
+                            valid = start + sub < ndraws
+                        if stats is None:
+                            # raw moments: mask x once (0^p == 0), then
+                            # the incremental power chain
+                            if valid is not None:
+                                x = jnp.where(valid, x, 0.0)
+                            xp = x
+                            for p in range(nstats):
+                                sums[p] = sums[p] + jnp.sum(
+                                    xp, axis=0, keepdims=True)
+                                if p + 1 < nstats:
+                                    xp = xp * x
+                        else:
+                            # general stats: g(0) != 0, so mask each
+                            # CONTRIBUTION, not x
+                            for p, g in enumerate(stats):
+                                gx = jnp.asarray(g(x), jnp.float32)
+                                if valid is not None:
+                                    gx = jnp.where(valid, gx, 0.0)
+                                sums[p] = sums[p] + jnp.sum(
+                                    gx, axis=0, keepdims=True)
+                for p in range(nstats):
                     out_refs[p][rows, :] = sums[p] * inv_n
                 return 0
 
@@ -663,9 +697,9 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
             grid=(npad // sb_rows,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * len(leaves),
-            out_specs=[spec] * nmoments,
+            out_specs=[spec] * nstats,
             out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)]
-            * nmoments,
+            * nstats,
             interpret=interp,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024) if not interp else None,
@@ -693,10 +727,13 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                 else:
                     eps = jax.random.uniform(k, (ndraws,), jnp.float32)
                 x = jnp.asarray(draw(th_scalars, eps), jnp.float32)
+                if stats is not None:
+                    return tuple(jnp.mean(jnp.asarray(g(x), jnp.float32))
+                                 for g in stats)
                 xs, ms = x, []
-                for p in range(nmoments):
+                for p in range(nstats):
                     ms.append(jnp.mean(xs))
-                    if p + 1 < nmoments:
+                    if p + 1 < nstats:
                         xs = xs * x
                 return tuple(ms)
 

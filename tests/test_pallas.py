@@ -409,3 +409,44 @@ class TestStreamingMomentCost:
         assert abs(got.std() / ref.std() - 1.0) < 0.02
         again = np.asarray(cost((mu, sg), jax.random.key(9)))
         np.testing.assert_array_equal(got, again)
+
+    def test_stats_ecdf_probes(self):
+        """stats= generalized summaries: ecdf probes on Exp(1) recover
+        F(t) = 1 - exp(-t) at the probe points (fallback path), and the
+        boundary mask zeroes CONTRIBUTIONS (g(0)=1 for t>0 probes would
+        otherwise leak padding draws into the mean)."""
+        from kissabc_tpu.ops.pallas_kernels import \
+            make_streaming_moment_cost
+
+        probes = (0.5, 1.0, 2.0)
+        seen = {}
+
+        def keep(th, m):
+            seen["m"] = m
+            return m[0]
+
+        cost = make_streaming_moment_cost(
+            lambda th, u: -jnp.log1p(-u) / th[0], keep,
+            stats=[(lambda x, t=t: (x < t).astype(jnp.float32))
+                   for t in probes],
+            ndraws=3000, noise="uniform")
+        rate = jnp.ones((512,))
+        cost((rate,), jax.random.key(2))
+        for t, m in zip(probes, seen["m"]):
+            assert abs(float(np.asarray(m).mean())
+                       - (1 - np.exp(-t))) < 0.02, (t, m)
+
+    def test_stats_boundary_mask_interpret(self):
+        """Kernel path (interpret + stub bits) with a ragged ndraws and
+        a g(0) != 0 stat: E[1] must be exactly 1 (a masked-x
+        implementation would give ndraws_padded/ndraws != 1)."""
+        from kissabc_tpu.ops.pallas_kernels import \
+            make_streaming_moment_cost
+
+        cost = make_streaming_moment_cost(
+            lambda th, z: z, lambda th, m: m[0],
+            stats=[lambda x: jnp.ones_like(x)],
+            ndraws=700, block=256, chunk=128, bits="stub",
+            interpret=True)
+        c = np.asarray(cost((jnp.ones((300,)),), jax.random.key(0)))
+        np.testing.assert_allclose(c, 1.0, rtol=1e-6)
