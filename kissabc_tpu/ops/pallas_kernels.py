@@ -176,8 +176,14 @@ def normal_summary_cost(mu, sigma, seed, *, ndraws: int = 1000,
     from jax.experimental.pallas import tpu as pltpu
 
     n = mu.shape[0]
-    if block % 128:
-        raise ValueError(f"block must be a multiple of 128, got {block}")
+    if block % (128 if interpret else 1024):
+        # hardware: the dense-view row slices and the (sb_rows//128,128)
+        # block specs need sublane-tile (8-row) alignment, i.e. block a
+        # multiple of 1024 — same constraint _fused_sweep_call enforces;
+        # interpret mode only needs the lane width
+        raise ValueError(
+            f"block must be a multiple of {128 if interpret else 1024}, "
+            f"got {block}")
     npad, wt = _plan_tiles(n, block, walker_tiles)
     sb_rows = wt * block
     rpb = block // 128  # [npad/128, 128]-view rows per walker tile
@@ -544,10 +550,12 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
     draw : callable ``(theta, eps) -> x``
         JAX-traceable and elementwise: ``theta`` is the thetas pytree
         with each leaf broadcastable against ``eps`` (inside the kernel
-        the leaves are (block,1) columns against (block,chunk) slabs;
-        in the off-TPU fallback they are scalars against (ndraws,)).
-        Runs INSIDE the Mosaic kernel on TPU: stick to elementwise
-        jnp/lax math (no reductions, no gathers).
+        the leaves are (1,128) walker rows against (chunk,128) slabs —
+        walkers on lanes, draw index on sublanes, see the layout note
+        below; in the off-TPU fallback they are scalars against
+        (ndraws,)). Treat BOTH axes as opaque: write genuinely
+        elementwise math only — no axis-dependent logic, reductions or
+        gathers. Runs INSIDE the Mosaic kernel on TPU.
     reduce_cost : callable ``(thetas, moments) -> costs``
         Plain XLA, batched: ``thetas`` leaves are [n] arrays and
         ``moments`` is a tuple of ``nmoments`` [n] arrays of raw
@@ -666,7 +674,7 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                             # raw moments: mask x once (0^p == 0), then
                             # the incremental power chain
                             if valid is not None:
-                                x = jnp.where(valid, x, 0.0)
+                                x = jnp.where(valid, x, np.float32(0.0))
                             xp = x
                             for p in range(nstats):
                                 sums[p] = sums[p] + jnp.sum(
@@ -679,7 +687,8 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                             for p, g in enumerate(stats):
                                 gx = jnp.asarray(g(x), jnp.float32)
                                 if valid is not None:
-                                    gx = jnp.where(valid, gx, 0.0)
+                                    gx = jnp.where(valid, gx,
+                                                   np.float32(0.0))
                                 sums[p] = sums[p] + jnp.sum(
                                     gx, axis=0, keepdims=True)
                 for p in range(nstats):
@@ -692,6 +701,11 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
         spec = pl.BlockSpec((sb_rows // 128, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
         interp = (not _on_tpu()) if interpret is None else interpret
+        if not interp and sb_rows % 1024:
+            # Mosaic needs block-spec rows divisible by 8 on hardware
+            raise ValueError(
+                f"walker_tiles*block = {sb_rows} must be a multiple of "
+                "1024 on TPU hardware (Mosaic sublane-tile alignment)")
         outs = pl.pallas_call(
             kernel,
             grid=(npad // sb_rows,),

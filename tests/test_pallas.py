@@ -405,7 +405,9 @@ class TestStreamingMomentCost:
         got = np.asarray(cost((mu, sg), jax.random.key(9)))
         ref = np.asarray(normal_summary_cost(mu, sg, jnp.uint32(9)))
         assert np.isfinite(got).all()
-        assert abs(got.mean() - ref.mean()) < 3 * ref.std() / np.sqrt(n)
+        # difference of two INDEPENDENT sample means: SE = std*sqrt(2/n)
+        assert abs(got.mean() - ref.mean()) \
+            < 3 * ref.std() * np.sqrt(2.0 / n)
         assert abs(got.std() / ref.std() - 1.0) < 0.02
         again = np.asarray(cost((mu, sg), jax.random.key(9)))
         np.testing.assert_array_equal(got, again)
