@@ -435,18 +435,32 @@ def row_smc_parity():
 
 
 def row_warmup():
-    """Absorb the tunnel's cold-attach cost. After the TPU sits idle for
-    a few minutes, the FIRST device op of the next process stalls 2-4
-    min (observed 123-264 s; `jax.devices()` itself is instant). The
-    stall is per-tunnel, not per-process: once any child completes an
-    op, every subsequent child attaches in ~1 s. Paying it here, in a
-    child that does nothing else, keeps the real rows warm-fast."""
-    _child_init()
+    """Absorb the tunnel's cold-attach cost AND the compile server's
+    cold-Mosaic cost. After the TPU sits idle for a few minutes, the
+    FIRST device op of the next process stalls 2-4 min (observed
+    123-264 s; `jax.devices()` itself is instant). Separately, the
+    remote compile server's FIRST Mosaic/Pallas build after idle can
+    take minutes while subsequent ones run in 3-12 s — so this row also
+    compiles+runs one small Pallas program: if the server is cold, the
+    minutes land HERE (uncapped) instead of inside a watchdog-capped
+    real row (the r3 failure mode: killed mid-compile children jammed
+    the server and cascade-stalled every later row). Both stalls are
+    per-tunnel/per-server, not per-process."""
+    jax = _child_init()
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
     v = float((jnp.ones((8, 128)) + 1.0).sum())
-    return {"attach_s": time.perf_counter() - t0, "val": v}
+    attach = time.perf_counter() - t0
+    res = {"attach_s": attach, "val": v}
+    if jax.devices()[0].platform == "tpu":
+        from kissabc_tpu.ops.pallas_kernels import normal_summary_cost
+        t0 = time.perf_counter()
+        float(jnp.sum(normal_summary_cost(
+            jnp.full((2048,), 2.0, jnp.float32),
+            jnp.full((2048,), 0.04, jnp.float32), 1, ndraws=200)))
+        res["mosaic_warm_s"] = round(time.perf_counter() - t0, 1)
+    return res
 
 
 ROWS = {
