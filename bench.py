@@ -502,9 +502,19 @@ def _group_main(names):
 # Parent-side orchestration (no JAX in this process).
 # --------------------------------------------------------------------------
 
-def _drain_readers(p, q, on_line, deadline, stall_s):
+_poisoned = [False]
+# True after a child was killed mid-row: killing a JAX client mid-op
+# leaves the tunnel/device in a state where the NEXT process's first op
+# stalls 2-4 min (same signature as the cold-attach stall) — so every
+# post-kill child is prepended with a `warmup` absorber row that gets a
+# longer stall window (r3 failure mode: each watchdog kill poisoned the
+# next row, which got killed too, cascading through the whole tail).
+
+
+def _drain_readers(p, q, on_line, deadline, stall_for):
     """Pump child output until exit/deadline/stall. Returns
-    ('exit', rc) | ('timeout', None) | ('stall', None)."""
+    ('exit', rc) | ('timeout', None) | ('stall', None). ``stall_for()``
+    returns the current stall window (row-aware)."""
     import queue as _q
     last_line = time.perf_counter()
     open_streams = 2
@@ -512,7 +522,7 @@ def _drain_readers(p, q, on_line, deadline, stall_s):
         now = time.perf_counter()
         if now > deadline:
             return ("timeout", None)
-        if now - last_line > stall_s:
+        if now - last_line > stall_for():
             return ("stall", None)
         try:
             tag, line = q.get(timeout=0.5)
@@ -547,6 +557,11 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
             for n in pending:
                 log(f"ROW SKIPPED [{n}]: {cap:.0f}s left < 20s floor")
             return results
+        # after a kill, absorb the poison stall in a warmup row with a
+        # long stall window instead of sacrificing the next real row
+        torun = pending
+        if _poisoned[0] and pending[0] != "warmup" and remaining() > 120:
+            torun = ["warmup"] + pending
         state = {"row": None, "t0": time.perf_counter()}
 
         def on_line(tag, line, state=state):
@@ -576,7 +591,7 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
 
         p = sp.Popen(
             [sys.executable, os.path.abspath(__file__), "--rows",
-             ",".join(pending)],
+             ",".join(torun)],
             stdout=sp.PIPE, stderr=sp.PIPE, text=True, cwd=REPO,
             start_new_session=True)
         q = _q.Queue()
@@ -592,9 +607,15 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
                                     daemon=True)]
         for t in threads:
             t.start()
+
+        def stall_for(state=state):
+            # the poison/attach absorber gets the long window it needs
+            return 300.0 if state["row"] == "warmup" else stall_s
+
         why, _rc = _drain_readers(p, q, on_line,
-                                  time.perf_counter() + cap, stall_s)
+                                  time.perf_counter() + cap, stall_for)
         if why == "exit":
+            _poisoned[0] = False
             return results
         # timeout/stall: kill the whole child process group (exact pids
         # we own — never pattern kills) and salvage the rows after the
@@ -605,15 +626,19 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
         except (ProcessLookupError, PermissionError):
             p.kill()
         p.wait()
-        stuck = state["row"] or pending[0]
+        _poisoned[0] = True
+        stuck = state["row"] or torun[0]
         log(f"ROW {'TIMEOUT' if why == 'timeout' else 'STALLED'} "
             f"[{stuck}] after "
             f"{time.perf_counter() - state['t0']:.0f}s; salvaging "
             "the rows after it")
         if stuck in pending:
             pending = pending[pending.index(stuck) + 1:]
-        else:  # defensive: drop head so we always make progress
+        elif stuck != "warmup":  # not in pending: drop head for progress
             pending = pending[1:]
+        # stuck == "warmup": keep pending intact — the absorber itself
+        # stalling means the tunnel needs another (longer) absorb pass;
+        # the cap/budget floor still bounds the loop
     return results
 
 
