@@ -434,6 +434,51 @@ def row_smc_parity():
             "sigma_sd": float(sig.std()), "parity": bool(parity)}
 
 
+def row_streaming():
+    """Generic streaming-simulator toolkit rates (make_streaming_moment_
+    cost): identity draw (the generic kernel's ceiling) and a tanh/exp-
+    heavy g-and-k draw. TPU only — the off-TPU fallback is threefry."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("streaming row is TPU-only (hw PRNG)")
+    from kissabc_tpu.ops.pallas_kernels import make_streaming_moment_cost
+
+    n, ndraws = 131072, 1000
+    out = {}
+
+    def rate(cost, theta, iters):
+        def gen(s0):
+            def body(c, s):
+                return c + jnp.sum(cost(
+                    theta, jax.random.fold_in(jax.random.key(1), s))), None
+            return jax.lax.scan(body, jnp.float32(0.0),
+                                s0 + jnp.arange(iters, dtype=jnp.uint32))[0]
+        g = jax.jit(gen)
+
+        def call(s):
+            float(g(s))
+        dt = _time_scalar_fn(call, lambda r: (jnp.uint32(r * iters),),
+                             reps=3)
+        return n * ndraws * iters / dt / 1e9
+
+    ident = make_streaming_moment_cost(
+        lambda th, z: z, lambda th, m: m[0], ndraws=ndraws)
+    out["identity_gdraws_per_s"] = rate(
+        ident, (jnp.full((n,), 2.0),), 200)
+
+    def gk_draw(th, z):
+        a, b, g, k = th
+        return a + b * (1.0 + 0.8 * jnp.tanh(g * z / 2.0)) * z * jnp.exp(
+            k * jnp.log1p(z * z))
+    gk = make_streaming_moment_cost(gk_draw, lambda th, m: m[0],
+                                    nmoments=2, ndraws=ndraws)
+    out["gk_gdraws_per_s"] = rate(
+        gk, tuple(jnp.full((n,), v) for v in (3.0, 1.0, 2.0, 0.5)), 100)
+    return out
+
+
 def row_warmup():
     """Absorb the tunnel's cold-attach cost AND the compile server's
     cold-Mosaic cost. After the TPU sits idle for a few minutes, the
@@ -475,6 +520,7 @@ ROWS = {
     "rejection": row_rejection,
     "g-and-k": row_gk,
     "smc-parity": row_smc_parity,
+    "streaming": row_streaming,
 }
 
 
@@ -712,7 +758,7 @@ def main():
     # inverted this and lost parity to diagnostics).
     group = run_rows(
         ["smc-parity", "ais-wallclock", "roofline", "ais-sweep",
-         "mcmc-sweep"],
+         "mcmc-sweep", "streaming"],
         total_cap=remaining() - 120, label="group")
     log_utilization(group.get("roofline"))
     if not pallas and group.get("ais-sweep"):
@@ -738,7 +784,8 @@ def main():
     # transient tunnel stalls occasionally eat one diagnostic row; give
     # the stragglers a second shot if budget remains
     retry = [n for n in ("smc-parity", "ais-wallclock", "roofline",
-                         "ais-sweep", "mcmc-sweep") if n not in group]
+                         "ais-sweep", "mcmc-sweep", "streaming")
+             if n not in group]
     if retry and remaining() > 40:
         run_rows(retry, total_cap=remaining() - 10, results=group,
                  label="retry")
