@@ -291,6 +291,47 @@ def row_ais_sweep():
     return {"updates_per_s": n * iters / dt, "n": n, "iters": iters}
 
 
+def row_ais_fused():
+    """Fused AIS diagnostic: the one-kernel-per-half mixture sweep
+    (make_fused_flagship_ais_sweep) vs the production split AIS path
+    (ais-sweep row). Measured 121.2M vs 110M updates/s at r3. TPU
+    only."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    import kissabc_tpu as ka
+    from kissabc_tpu.ops.pallas_kernels import (
+        make_flagship_cost_batched, make_fused_flagship_ais_sweep)
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("fused AIS row is TPU-only")
+    n, iters = 131072, 500
+    prior, _cost = flagship()
+    model = ka.ApproxKernelizedPosterior(
+        prior, make_flagship_cost_batched(), 0.005, cost_vectorized=True)
+    sweep = make_fused_flagship_ais_sweep(n, scale=0.005)
+
+    @jax.jit
+    def many(key, thetas, lds):
+        def body(c, k):
+            th, ld = c
+            return sweep(k, th, ld), None
+        (th, ld), _ = jax.lax.scan(
+            body, (thetas, lds), jax.random.split(key, iters))
+        return jnp.sum(ld[0])
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+    lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                              jax.random.fold_in(key, 1))
+
+    def call(k):
+        float(many(k, thetas, lds))
+
+    dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
+    return {"updates_per_s": n * iters / dt, "n": n, "iters": iters}
+
+
 def row_mcmc_sweep():
     """Classical-MCMC mode (no simulator): Rosenbrock banana via
     CommonLogDensity with a vectorized log-density — raw ensemble-kernel
@@ -521,6 +562,7 @@ ROWS = {
     "g-and-k": row_gk,
     "smc-parity": row_smc_parity,
     "streaming": row_streaming,
+    "ais-fused": row_ais_fused,
 }
 
 
@@ -606,7 +648,10 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
         # after a kill, absorb the poison stall in a warmup row with a
         # long stall window instead of sacrificing the next real row
         torun = pending
-        if _poisoned[0] and pending[0] != "warmup" and remaining() > 120:
+        if _poisoned[0] and pending[0] != "warmup" and remaining() > 60:
+            # healthy absorber costs ~1-30s and saves the row behind it
+            # from eating the post-kill stall; only skip it when the
+            # budget can't even cover a healthy pass
             torun = ["warmup"] + pending
         state = {"row": None, "t0": time.perf_counter()}
 
@@ -655,8 +700,12 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
             t.start()
 
         def stall_for(state=state):
-            # the poison/attach absorber gets the long window it needs
-            return 300.0 if state["row"] == "warmup" else stall_s
+            # the poison/attach absorber gets the LONG window it needs
+            # (max, not replace: the initial warmup call passes a ~390s
+            # stall_s of its own and must keep it — observed stalls run
+            # past 300s)
+            return max(stall_s, 330.0) if state["row"] == "warmup" \
+                else stall_s
 
         why, _rc = _drain_readers(p, q, on_line,
                                   time.perf_counter() + cap, stall_for)
@@ -758,7 +807,7 @@ def main():
     # inverted this and lost parity to diagnostics).
     group = run_rows(
         ["smc-parity", "ais-wallclock", "roofline", "ais-sweep",
-         "mcmc-sweep", "streaming"],
+         "mcmc-sweep", "streaming", "ais-fused"],
         total_cap=remaining() - 120, label="group")
     log_utilization(group.get("roofline"))
     if not pallas and group.get("ais-sweep"):
@@ -784,8 +833,8 @@ def main():
     # transient tunnel stalls occasionally eat one diagnostic row; give
     # the stragglers a second shot if budget remains
     retry = [n for n in ("smc-parity", "ais-wallclock", "roofline",
-                         "ais-sweep", "mcmc-sweep", "streaming")
-             if n not in group]
+                         "ais-sweep", "mcmc-sweep", "streaming",
+                         "ais-fused") if n not in group]
     if retry and remaining() > 40:
         run_rows(retry, total_cap=remaining() - 10, results=group,
                  label="retry")

@@ -491,6 +491,269 @@ def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
     return step
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "h", "ndraws", "block", "chunk", "interpret", "bits", "scale",
+    "target_mu", "target_sd", "sd_weight", "a_stretch", "mu_lo", "mu_hi",
+    "sg_sigma", "sg_lo", "sg_hi"))
+def _fused_ais_half_call(mu, sg, lp, ll, parts, seed, *, h, ndraws,
+                         block, chunk, interpret, bits, scale, target_mu,
+                         target_sd, sd_weight, a_stretch, mu_lo, mu_hi,
+                         sg_sigma, sg_lo, sg_hi):
+    """One fully-fused AIS red/black HALF-update for the flagship model
+    with the kernelized density (ApproxKernelizedPosterior): per walker
+    of the updated half — the 4:2:1 stretch/DE/walk mixture proposal
+    (rotation partners precomputed by six contiguous XLA rolls of the
+    complementary half, passed in ``parts``; NO gathers in-kernel),
+    flagship prior logpdf, the ndraws-normal simulator, kernelized MH
+    accept, commit. Counterpart of the split path
+    ``core.ais.make_sweep`` (XLA mixture_batched + Pallas cost).
+
+    ``parts`` = (s_mu, s_sg, da_mu, da_sg, db_mu, db_sg, wa_mu, wa_sg,
+    wb_mu, wb_sg, wc_mu, wc_sg): stretch partner, DE partner pair, walk
+    partner triple — each [h]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if block % (128 if interpret else 1024):
+        raise ValueError(
+            f"block must be a multiple of {128 if interpret else 1024}, "
+            f"got {block}")
+    npad = _plan_tiles(h, block, 1)[0]
+    rpb = block // 128
+    nchunks = -(-ndraws // (2 * chunk))
+    exp_one = np.uint32(0x3F800000)
+    inv_n = np.float32(1.0 / ndraws)
+    # mixture constants (d = 2 params; transition.jl:2-65)
+    sa = math.sqrt(a_stretch)
+    g_lo, g_span = np.float32(1.0 / sa), np.float32(sa - 1.0 / sa)
+    de_scale = np.float32(2.38 / math.sqrt(2 * 2))
+    inv300 = np.float32(1.0 / 300.0)
+    third = np.float32(1.0 / 3.0)
+    p_s_hi = np.float32(4.0 / 7.0)   # P(stretch) = 4/7
+    p_d_hi = np.float32(6.0 / 7.0)   # P(stretch or DE) = 6/7
+    inv_scale = np.float32(1.0 / scale)
+    # flagship prior constants (same closed form as _fused_sweep_call)
+    from scipy import special as _sps
+    mass = float(_sps.ndtr((sg_hi) / sg_sigma) - _sps.ndtr(sg_lo / sg_sigma))
+    tn_const = np.float32(
+        -math.log(sg_sigma) - 0.5 * math.log(2 * math.pi) - math.log(mass))
+    lp_mu = np.float32(-math.log(mu_hi - mu_lo))
+    half_inv_var = np.float32(0.5 / (sg_sigma * sg_sigma))
+    neg_inf = np.float32(-np.inf)
+    f_mu_lo, f_mu_hi = np.float32(mu_lo), np.float32(mu_hi)
+    f_sg_lo, f_sg_hi = np.float32(sg_lo), np.float32(sg_hi)
+    f_tmu, f_tsd, f_w = (np.float32(target_mu), np.float32(target_sd),
+                         np.float32(sd_weight))
+
+    def rbits(pid, seed, ctr, shape):
+        if bits == "hw":
+            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return _stub_bits(pid, seed, ctr, shape)
+
+    def to_unit(b):
+        return pltpu.bitcast((b >> 9) | exp_one, jnp.float32) - 1.0
+
+    def kernel(seed_ref, *refs):
+        (mu_ref, sg_ref, lp_ref, ll_ref, smu_r, ssg_r, damu_r, dasg_r,
+         dbmu_r, dbsg_r, wamu_r, wasg_r, wbmu_r, wbsg_r, wcmu_r,
+         wcsg_r) = refs[:16]
+        omu_ref, osg_ref, olp_ref, oll_ref = refs[16:]
+        pid = pl.program_id(0)
+        if bits == "hw":
+            pltpu.prng_seed(seed_ref[0] + pid)
+        col = (rpb, 128)
+
+        def normal_pair(c1, c2):
+            ua = to_unit(rbits(pid, seed_ref[0], c1, col))
+            ub = to_unit(rbits(pid, seed_ref[0], c2, col))
+            rr = jnp.sqrt(-2.0 * jnp.log1p(-ua))
+            cv, sv = _sincos_2pi(ub)
+            return rr * cv, rr * sv
+
+        # per-walker randomness: move id + stretch Z (uniforms), gamma
+        # lognormal + DE jitter pair + walk triple (6 normals), MH log-u
+        u_mid = to_unit(rbits(pid, seed_ref[0], 20_000, col))
+        u_z = to_unit(rbits(pid, seed_ref[0], 20_001, col))
+        gam_n, nz_mu = normal_pair(20_002, 20_003)
+        nz_sg, r1 = normal_pair(20_004, 20_005)
+        r2, r3 = normal_pair(20_006, 20_007)
+        u_acc = to_unit(rbits(pid, seed_ref[0], 20_008, col))
+
+        is_s = u_mid < p_s_hi
+        is_d = (u_mid >= p_s_hi) & (u_mid < p_d_hi)
+        zroot = u_z * g_span + g_lo
+        z = zroot * zroot                     # cdf_g_inv(u, a)
+        corr = jnp.where(is_s, 2.0 * jnp.log(zroot),
+                         np.float32(0.0))     # (d-1) log Z, d=2
+        gamma = de_scale * jnp.exp(np.float32(0.1) * gam_n)
+
+        mu = mu_ref[:]
+        sg = sg_ref[:]
+
+        def propose(xi, pa, da, db, wa, wb, wc, nz):
+            p_s = pa + z * (xi - pa)
+            tri = (jnp.abs(da - db) + jnp.abs(xi - db)
+                   + jnp.abs(da - xi))
+            p_d = xi + gamma * (da - db) + gamma * tri * inv300 * nz
+            cen = (wa + wb + wc) * third
+            p_w = xi + (r1 * (wa - cen) + r2 * (wb - cen)
+                        + r3 * (wc - cen))
+            return jnp.where(is_s, p_s, jnp.where(is_d, p_d, p_w))
+
+        pmu = propose(mu, smu_r[:], damu_r[:], dbmu_r[:], wamu_r[:],
+                      wbmu_r[:], wcmu_r[:], nz_mu)
+        psg = propose(sg, ssg_r[:], dasg_r[:], dbsg_r[:], wasg_r[:],
+                      wbsg_r[:], wcsg_r[:], nz_sg)
+
+        inside = ((pmu >= f_mu_lo) & (pmu <= f_mu_hi)
+                  & (psg >= f_sg_lo) & (psg <= f_sg_hi))
+        lpp = jnp.where(inside,
+                        lp_mu + tn_const - psg * psg * half_inv_var,
+                        neg_inf)
+
+        # simulator: ndraws normals per walker, walker-on-sublane slabs
+        def body(j, carry):
+            s1, s2 = carry
+            b1 = rbits(pid, seed_ref[0], 2 * j, (block, chunk))
+            b2 = rbits(pid, seed_ref[0], 2 * j + 1, (block, chunk))
+            v1 = to_unit(b1)
+            v2 = to_unit(b2)
+            rr = jnp.sqrt(-2.0 * jnp.log1p(-v1))
+            cv, sv = _sincos_2pi(v2)
+            za = rr * cv
+            zb = rr * sv
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block, chunk), 1)
+            za = jnp.where((2 * j * chunk + lane) < ndraws, za,
+                           np.float32(0.0))
+            zb = jnp.where(((2 * j + 1) * chunk + lane) < ndraws, zb,
+                           np.float32(0.0))
+            s1 = s1 + jnp.sum(za, axis=1, keepdims=True) \
+                + jnp.sum(zb, axis=1, keepdims=True)
+            s2 = s2 + jnp.sum(za * za, axis=1, keepdims=True) \
+                + jnp.sum(zb * zb, axis=1, keepdims=True)
+            return s1, s2
+
+        zero = jnp.zeros((block, 1), jnp.float32)
+        s1, s2 = jax.lax.fori_loop(0, nchunks, body, (zero, zero))
+        mz = (s1 * inv_n).reshape(rpb, 128)
+        vz = (s2 * inv_n).reshape(rpb, 128) - mz * mz
+        d1 = (pmu + psg * mz) - f_tmu
+        d2 = (psg * jnp.sqrt(jnp.maximum(vz, 0.0)) - f_tsd) * f_w
+        c = jnp.sqrt(d1 * d1 + d2 * d2)
+        # kernelized loglike (types.jl:62-75): -(c/scale)^2/2 when the
+        # prior is finite, else the (-inf) prior marker
+        llp = jnp.where(inside, np.float32(-0.5) * jnp.square(
+            c * inv_scale), lpp)
+
+        lp_old = lp_ref[:]
+        ll_old = ll_ref[:]
+        lw = corr + (lpp + llp) - (lp_old + ll_old)
+        acc = inside & (jnp.log1p(-u_acc) <= lw)
+        omu_ref[:] = jnp.where(acc, pmu, mu)
+        osg_ref[:] = jnp.where(acc, psg, sg)
+        olp_ref[:] = jnp.where(acc, lpp, lp_old)
+        oll_ref[:] = jnp.where(acc, llp, ll_old)
+
+    R = npad // 128
+
+    def pad(x, cv=0.0):
+        return jnp.pad(x, (0, npad - h),
+                       constant_values=np.float32(cv)).reshape(R, 128)
+
+    colspec = pl.BlockSpec((rpb, 128), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [colspec] * 16,
+        out_specs=[colspec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
+    )(jnp.asarray(seed, jnp.uint32).reshape(1),
+      pad(mu), pad(sg),
+      # pad lp with +inf: lw = ... - inf = -inf, so padding walkers
+      # never commit and their (0-valued) partners never matter
+      pad(lp, np.inf), pad(ll),
+      *[pad(p) for p in parts])
+    omu, osg, olp, oll = (o.reshape(npad)[:h] for o in outs)
+    return omu, osg, olp, oll
+
+
+def make_fused_flagship_ais_sweep(n, *, scale: float = 0.005,
+                                  ndraws: int = 1000,
+                                  target_mu: float = 2.0,
+                                  target_sd: float = 0.04,
+                                  sd_weight: float = 50.0,
+                                  a_stretch: float = 3.0,
+                                  mu_lo: float = 1.0, mu_hi: float = 3.0,
+                                  sg_sigma: float = 0.05,
+                                  sg_lo: float = 0.0, sg_hi: float = 100.0,
+                                  block: int = 2048, chunk: int = 512,
+                                  interpret: bool = False,
+                                  bits: str = "hw"):
+    """Fused AIS red/black sweep for the flagship model + kernelized
+    density: ``sweep(key, (mu, sg), (lp, ll)) -> ((mu, sg), (lp, ll))``
+    — a drop-in for ``core.ais.make_sweep``'s sweep on this model. Each
+    half-update is ONE kernel; the only XLA work per half is six
+    contiguous rolls of the complementary half (the rotation partner
+    scheme of ops/moves.py, same distinctness structure per move:
+    stretch {s}, DE {a,b} distinct, walk {a,b,c} distinct)."""
+    h = n // 2
+    if h < 3:
+        raise ValueError("need at least 6 walkers for the fused AIS sweep")
+
+    def rolls(key, comp_mu, comp_sg):
+        ks = jax.random.split(key, 6)
+        s1 = jax.random.randint(ks[0], (), 0, h, dtype=jnp.int32)
+        d1 = jax.random.randint(ks[1], (), 0, h, dtype=jnp.int32)
+        d2 = jax.random.randint(ks[2], (), 0, h - 1, dtype=jnp.int32)
+        d2 = d2 + (d2 >= d1)
+        w1 = jax.random.randint(ks[3], (), 0, h, dtype=jnp.int32)
+        w2 = jax.random.randint(ks[4], (), 0, h - 1, dtype=jnp.int32)
+        w2 = w2 + (w2 >= w1)
+        w3 = jax.random.randint(ks[5], (), 0, h - 2, dtype=jnp.int32)
+        lo = jnp.minimum(w1, w2)
+        hi = jnp.maximum(w1, w2)
+        w3 = w3 + (w3 >= lo)
+        w3 = w3 + (w3 >= hi)
+        out = []
+        for r in (s1, d1, d2, w1, w2, w3):
+            out.append(jnp.roll(comp_mu, -r))
+            out.append(jnp.roll(comp_sg, -r))
+        return tuple(out)
+
+    def half(key, mu, sg, lp, ll, lo):
+        kp, ks = jax.random.split(key)
+        sl = lambda x: jax.lax.slice_in_dim(x, lo, lo + h)
+        co = lambda x: (jax.lax.slice_in_dim(x, h, n) if lo == 0
+                        else jax.lax.slice_in_dim(x, 0, h))
+        parts = rolls(kp, co(mu), co(sg))
+        seed = jax.random.bits(ks, (), jnp.uint32)
+        omu, osg, olp, oll = _fused_ais_half_call(
+            sl(mu), sl(sg), sl(lp), sl(ll), parts, seed, h=h,
+            ndraws=ndraws, block=block, chunk=chunk, interpret=interpret,
+            bits=bits, scale=scale, target_mu=target_mu,
+            target_sd=target_sd, sd_weight=sd_weight, a_stretch=a_stretch,
+            mu_lo=mu_lo, mu_hi=mu_hi, sg_sigma=sg_sigma, sg_lo=sg_lo,
+            sg_hi=sg_hi)
+        upd = lambda x, o: jax.lax.dynamic_update_slice_in_dim(
+            x, o, lo, axis=0)
+        return upd(mu, omu), upd(sg, osg), upd(lp, olp), upd(ll, oll)
+
+    def sweep(key, thetas, lds):
+        mu, sg = thetas
+        lp, ll = lds
+        ka_, kb_ = jax.random.split(key)
+        mu, sg, lp, ll = half(ka_, mu, sg, lp, ll, 0)
+        mu, sg, lp, ll = half(kb_, mu, sg, lp, ll, h)
+        return (mu, sg), (lp, ll)
+
+    return sweep
+
+
 def shard_batched_cost(cost_batched, mesh, axis: str = "walker"):
     """Make a batched cost mesh-ready: run it per-shard under shard_map.
 

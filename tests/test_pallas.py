@@ -452,3 +452,86 @@ class TestStreamingMomentCost:
             interpret=True)
         c = np.asarray(cost((jnp.ones((300,)),), jax.random.key(0)))
         np.testing.assert_allclose(c, 1.0, rtol=1e-6)
+
+
+class TestFusedAISSweep:
+    """make_fused_flagship_ais_sweep: the one-kernel-per-half AIS
+    mixture sweep (r3)."""
+
+    @staticmethod
+    def _start(n, scale, seed=0):
+        rng = np.random.default_rng(seed)
+        mu = jnp.asarray(rng.uniform(1, 3, n), jnp.float32)
+        sg = jnp.asarray(rng.uniform(0.01, 0.1, n), jnp.float32)
+        lp = jnp.asarray(-np.log(2.0) - 0.5 * np.log(2 * np.pi * 0.05**2)
+                         - np.asarray(sg)**2 / (2 * 0.05**2)
+                         - np.log(0.5), jnp.float32)
+        ll = jnp.full((n,), -1.0, jnp.float32)
+        return (mu, sg), (lp, ll)
+
+    def test_interpret_gating(self):
+        """CPU interpret + stub bits: committed walkers stay in prior
+        bounds with finite lp, uncommitted walkers are bitwise
+        untouched across BOTH halves of the sweep."""
+        from kissabc_tpu.ops.pallas_kernels import \
+            make_fused_flagship_ais_sweep
+
+        n = 512
+        thetas, lds = self._start(n, 0.1)
+        sweep = make_fused_flagship_ais_sweep(
+            n, scale=0.1, ndraws=700, block=256, chunk=128,
+            interpret=True, bits="stub")
+        (omu, osg), (olp, oll) = jax.jit(sweep)(
+            jax.random.key(0), thetas, lds)
+        omu, osg, olp, oll = map(np.asarray, (omu, osg, olp, oll))
+        ch = omu != np.asarray(thetas[0])
+        assert ch.sum() > 0
+        assert ((omu[ch] >= 1) & (omu[ch] <= 3)).all()
+        assert ((osg[ch] >= 0) & (osg[ch] <= 100)).all()
+        assert np.isfinite(olp[ch]).all() and np.isfinite(oll[ch]).all()
+        np.testing.assert_array_equal(
+            omu[~ch], np.asarray(thetas[0])[~ch])
+        np.testing.assert_array_equal(
+            oll[~ch], np.asarray(lds[1])[~ch])
+
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_matches_split_ais_sweep_statistically(self):
+        """Iterating the fused AIS sweep and the production split sweep
+        (core.ais.make_sweep) from the same start must land in the same
+        stationary population (different streams; statistical check).
+        Measured at n=131072: split 2.00000+-0.0147 / fused
+        2.00003+-0.0149 on mu, identical sg moments."""
+        import kissabc_tpu as ka
+        from kissabc_tpu.core.ais import make_sweep
+        from kissabc_tpu.ops.pallas_kernels import (
+            make_flagship_cost_batched, make_fused_flagship_ais_sweep)
+
+        n, sweeps, scale = 4096, 40, 0.01
+        prior = ka.Factored(ka.Uniform(1, 3),
+                            ka.TruncatedNormal(0, 0.05, 0, 100))
+        model = ka.ApproxKernelizedPosterior(
+            prior, make_flagship_cost_batched(), scale,
+            cost_vectorized=True)
+        key = jax.random.key(3)
+        thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+        lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                                  jax.random.fold_in(key, 1))
+
+        def run(sweep, k):
+            @jax.jit
+            def many(k, th, ld):
+                def body(c, kk):
+                    t, l = c
+                    return sweep(kk, t, l), None
+                (t, l), _ = jax.lax.scan(
+                    body, (th, ld), jax.random.split(k, sweeps))
+                return t
+            return many(k, thetas, lds)
+
+        ts = run(make_sweep(model, n), jax.random.fold_in(key, 7))
+        tf = run(make_fused_flagship_ais_sweep(n, scale=scale),
+                 jax.random.fold_in(key, 8))
+        for a, b, tol in ((ts[0], tf[0], 3e-3), (ts[1], tf[1], 3e-4)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert abs(a.mean() - b.mean()) < tol, (a.mean(), b.mean())
+            assert abs(a.std() / b.std() - 1.0) < 0.25, (a.std(), b.std())
