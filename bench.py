@@ -639,8 +639,9 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
 
     results = {} if results is None else results
     pending = [n for n in names if n not in results]
+    group_deadline = time.perf_counter() + total_cap  # across restarts
     while pending:
-        cap = min(total_cap, remaining() - 10)
+        cap = min(group_deadline - time.perf_counter(), remaining() - 10)
         if cap < 20:
             for n in pending:
                 log(f"ROW SKIPPED [{n}]: {cap:.0f}s left < 20s floor")
@@ -707,11 +708,26 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
             return max(stall_s, 330.0) if state["row"] == "warmup" \
                 else stall_s
 
-        why, _rc = _drain_readers(p, q, on_line,
-                                  time.perf_counter() + cap, stall_for)
+        why, rc = _drain_readers(p, q, on_line,
+                                 time.perf_counter() + cap, stall_for)
         if why == "exit":
-            _poisoned[0] = False
-            return results
+            pending = [n for n in pending if n not in results]
+            if rc == 0 or not pending:
+                _poisoned[0] = False
+                return results
+            # crashed child (native abort, tunnel fatal): log and fall
+            # through to the salvage path so the remaining rows still
+            # get a restart instead of being silently dropped
+            log(f"CHILD EXITED rc={rc} with {len(pending)} rows "
+                "pending; restarting on the remainder")
+            _poisoned[0] = True
+            stuck = state["row"]
+            if stuck in pending:
+                pending = pending[pending.index(stuck) + 1:]
+            else:  # crash before any STAGE line: drop the head so a
+                # crash-looping child cannot spin forever
+                pending = pending[1:]
+            continue
         # timeout/stall: kill the whole child process group (exact pids
         # we own — never pattern kills) and salvage the rows after the
         # one that wedged

@@ -305,20 +305,21 @@ class LogNormal(Distribution):
     def cdf(self, x):
         ok = x > 0
         xs = jnp.where(ok, x, 1.0)
-        return jnp.where(ok, ndtr((jnp.log(xs) - self.mu) / self.sigma), 0.0)
+        return jnp.where(ok, ndtr((jnp.log(xs) - self.mu) / self.sigma),
+                         _f32(0.0))
 
     def sf(self, x):
         ok = x > 0
         xs = jnp.where(ok, x, 1.0)
         return jnp.where(ok, ndtr(-(jnp.log(xs) - self.mu) / self.sigma),
-                         1.0)
+                         _f32(1.0))
 
     def logsf(self, x):
         from jax.scipy.special import log_ndtr
         ok = x > 0
         xs = jnp.where(ok, x, 1.0)
         return jnp.where(
-            ok, log_ndtr(-(jnp.log(xs) - self.mu) / self.sigma), 0.0)
+            ok, log_ndtr(-(jnp.log(xs) - self.mu) / self.sigma), _f32(0.0))
 
     def quantile(self, q):
         return jnp.exp(self.mu + self.sigma * ndtri(q))
@@ -822,7 +823,7 @@ class Frechet(Distribution):
     def sf(self, x):
         ok = x > 0
         z = jnp.where(ok, x / self.theta, 1.0)
-        return jnp.where(ok, -jnp.expm1(-z ** (-self.alpha)), 1.0)
+        return jnp.where(ok, -jnp.expm1(-z ** (-self.alpha)), _f32(1.0))
 
     def logsf(self, x):
         ok = x > 0
@@ -832,7 +833,7 @@ class Frechet(Distribution):
         # small-t series keeps the far upper tail (t ~ z^-alpha) exact
         lsf = jnp.where(t < _f32(1e-4),
                         -self.alpha * jnp.log(z) - 0.5 * t, exact)
-        return jnp.where(ok, lsf, 0.0)
+        return jnp.where(ok, lsf, _f32(0.0))
 
     def quantile(self, q):
         return self.theta * (-jnp.log(q)) ** np.float32(-1.0 /

@@ -701,6 +701,10 @@ def make_fused_flagship_ais_sweep(n, *, scale: float = 0.005,
     contiguous rolls of the complementary half (the rotation partner
     scheme of ops/moves.py, same distinctness structure per move:
     stretch {s}, DE {a,b} distinct, walk {a,b,c} distinct)."""
+    if n % 2:
+        raise ValueError(
+            f"the fused AIS sweep needs an even walker count, got {n} "
+            "(the red/black halves must be equal)")
     h = n // 2
     if h < 3:
         raise ValueError("need at least 6 walkers for the fused AIS sweep")

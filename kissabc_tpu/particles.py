@@ -11,11 +11,23 @@ pushes a whole posterior through the simulator), and the statistical
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 
 
 def _as_np(x):
     return np.asarray(x)
+
+
+_AUTO_SEED = itertools.count(0x5EED)
+
+
+def _next_auto_seed():
+    """Per-process deterministic sequence of distinct seeds for
+    default-keyed Particles(N)/pm() constructions (MCM's global-RNG
+    analogue: independent clouds per call, reproducible per run)."""
+    return next(_AUTO_SEED)
 
 
 class Particles:
@@ -30,27 +42,39 @@ class Particles:
 
     __array_priority__ = 100  # beat ndarray in mixed binary ops
 
-    def __new__(cls, x, dist=None, key=0):
+    def __new__(cls, x=None, dist=None, key=None):
         # MCM's Particles(::Matrix): rows are particles, columns are
         # quantities -> a LIST of per-column clouds. This is the shape
         # sigmapoints() returns, so the reference workflow
         # `Particles(sigmapoints(mean(R), cov(R)))` (smc.jl:234,269)
-        # ports verbatim.
-        if dist is None and not isinstance(x, (int, np.integer)):
+        # ports verbatim. (x defaults to None so pickle/deepcopy's
+        # bare cls.__new__(cls) works; __init__ rejects x=None for
+        # direct construction.)
+        if x is not None and dist is None \
+                and not isinstance(x, (int, np.integer)):
             arr = np.asarray(x)
             if arr.ndim == 2:
                 return [cls(col) for col in arr.T]
         return super().__new__(cls)
 
-    def __init__(self, x, dist=None, key=0):
+    def __init__(self, x=None, dist=None, key=None):
+        if x is None:
+            raise TypeError(
+                "Particles() needs samples, a count N, or (N, dist)")
         if dist is None and isinstance(x, (int, np.integer)):
             # MCM's Particles(N): N standard-normal SYSTEMATIC samples
-            # (exact midpoint quantiles, permuted so independently
-            # constructed clouds don't correlate pairwise)
+            # (exact midpoint quantiles, permuted). key=None (default)
+            # draws a FRESH permutation per construction from a
+            # process-global counter, like MCM's global-RNG behavior —
+            # otherwise independently built clouds would be perfectly
+            # correlated and e.g. (pm(1,.1)+pm(2,.2)).std() would add
+            # linearly instead of in quadrature. Pass an explicit key
+            # for a reproducible (but shared!) permutation.
             from scipy.special import ndtri
             n = int(x)
             z = ndtri((np.arange(n) + 0.5) / n)
-            self.particles = np.random.default_rng(int(key)).permutation(z)
+            seed = _next_auto_seed() if key is None else int(key)
+            self.particles = np.random.default_rng(seed).permutation(z)
             return
         if dist is not None:
             import jax
@@ -315,7 +339,7 @@ def pcor(ps):
     return np.corrcoef(m)
 
 
-def sigmapoints(m, S):
+def sigmapoints(m, S=None):
     """Unscented-transform sigma points from a mean vector and
     covariance matrix — MonteCarloMeasurements' ``sigmapoints(m, Σ)``,
     used in the reference's own workflow snippets
@@ -332,6 +356,10 @@ def sigmapoints(m, S):
             isinstance(p, Particles) for p in m):
         S = pcov(m)
         m = np.array([p.mean() for p in m])
+    elif S is None:
+        raise TypeError(
+            "sigmapoints(m, S) needs the covariance S unless m is a "
+            "tuple/list of Particles")
     m = np.atleast_1d(np.asarray(m, np.float64))
     n = m.shape[0]
     S = np.asarray(S, np.float64)
@@ -341,10 +369,13 @@ def sigmapoints(m, S):
     return np.vstack([m[None, :], m + L.T, m - L.T])
 
 
-def pm(mu, sigma, n=2000, key=0):
+def pm(mu, sigma, n=2000, key=None):
     """``mu ± sigma`` — MCM's ``±`` constructor sugar (Python has no ±
     operator): a systematic-normal cloud with exact mean ``mu`` and
-    spread ``sigma``. ``plus_minus`` is the spelled-out alias."""
+    spread ``sigma``. ``plus_minus`` is the spelled-out alias.
+    key=None (default) gives each call an independent permutation, so
+    ``(pm(a, s1) + pm(b, s2)).std()`` combines in quadrature like
+    independent quantities (MCM semantics)."""
     return mu + sigma * Particles(n, None, key)
 
 

@@ -132,8 +132,13 @@ def ess(x, split: bool = True,
         chains = rank_normalize(chains)
     elif method == "tail":
         qs = np.quantile(chains, [0.05, 0.95])
-        return float(min(
-            _ess_core(rank_normalize(chains <= q)) for q in qs))
+        # np.minimum (not python min): a degenerate tail indicator
+        # (constant, e.g. >=5% point mass at the extreme) yields NaN
+        # from _ess_core, and python min() is order-dependent with NaN
+        # — the NaN must propagate so a broken tail is never silently
+        # reported as a finite tail-ESS
+        vals = [_ess_core(rank_normalize(chains <= q)) for q in qs]
+        return float(np.minimum(vals[0], vals[1]))
     elif method != "mean":
         raise ValueError(
             f"ess method={method!r} not in ('mean', 'rank', 'bulk', "

@@ -190,3 +190,16 @@ def test_diagnostics_method_validation_and_multiparam():
     e = ess(ps, method="rank")
     r = rhat(ps, method="rank")
     assert e.shape == (3,) and r.shape == (3,)
+
+
+def test_tail_ess_degenerate_tail_is_nan():
+    """Review r3: a constant tail indicator (>=5% point mass at the
+    extreme) must surface as NaN, not a silently finite tail-ESS from
+    NaN-order-dependent min()."""
+    import kissabc_tpu as ka
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=4000)
+    y[:500] = y.max() + 1.0  # 12.5% point mass at the maximum
+    v = ka.ess(y, method="tail")
+    assert np.isnan(v), v

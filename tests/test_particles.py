@@ -3,6 +3,7 @@ parity surface: constructors, p-statistics, two-sided approx, algebra,
 tree bundling)."""
 
 import numpy as np
+import pytest
 
 import kissabc_tpu as ka
 from kissabc_tpu.particles import particles_from_tree
@@ -210,3 +211,48 @@ def test_sigmapoints_reference_workflow():
         [sP[0].mean(), sP[1].mean()], ka.mean(R), rtol=1e-6)
     np.testing.assert_allclose(ka.cov(sP), ka.cov(R), rtol=1e-5,
                                atol=1e-10)
+
+
+def test_pm_independent_clouds_combine_in_quadrature():
+    """Review r3: default-keyed pm()/Particles(N) clouds must be
+    INDEPENDENT (MCM global-RNG semantics) — with a shared default key
+    they were perfectly correlated and stds added linearly."""
+    import kissabc_tpu as ka
+
+    x = ka.pm(1.0, 0.1)
+    y = ka.pm(2.0, 0.2)
+    s = (x + y).std()
+    assert abs(s - np.hypot(0.1, 0.2)) < 0.02, s
+    assert (ka.pm(1.0, 0.1) - ka.pm(1.0, 0.1)).std() > 0.05
+    # explicit keys remain reproducible (and shared-key clouds correlate)
+    a = ka.pm(0.0, 1.0, key=7)
+    b = ka.pm(0.0, 1.0, key=7)
+    assert (a - b).std() == 0.0
+
+
+def test_particles_pickle_deepcopy():
+    """Review r3: __new__ with a required positional arg broke
+    pickle/deepcopy (cls.__new__(cls) with no args)."""
+    import copy
+    import pickle
+
+    from kissabc_tpu import Particles
+
+    p = Particles(np.arange(10.0))
+    for q in (copy.deepcopy(p), pickle.loads(pickle.dumps(p))):
+        np.testing.assert_array_equal(q.particles, p.particles)
+    with pytest.raises(TypeError):
+        Particles()
+
+
+def test_sigmapoints_tuple_and_missing_S():
+    from kissabc_tpu import Particles, sigmapoints
+
+    rng = np.random.default_rng(3)
+    p1, p2 = Particles(rng.normal(size=(400, 2)))
+    sp = sigmapoints((p1, p2))
+    assert sp.shape == (5, 2)
+    np.testing.assert_allclose(sp.mean(0), [p1.mean(), p2.mean()],
+                               atol=1e-9)
+    with pytest.raises(TypeError, match="covariance"):
+        sigmapoints([1.0, 2.0])
