@@ -18,27 +18,28 @@ formal benchmarks — BASELINE.md).
 Robustness (this harness runs under `timeout 590` on a tunneled axon TPU
 where a cold remote compile can cost minutes and the tunnel can stall
 transiently):
-  * The parent process NEVER initializes JAX. Rows run in child
-    processes (`bench.py --rows A,B,C`) that emit incremental
+  * The parent process NEVER initializes JAX. ONE child runs every
+    row sequentially (`bench.py --rows A,B,...`), emitting incremental
     `STAGE start`/`ROW name {json}` lines; the parent watchdogs the
-    stream and, on a per-row stall (cache-miss compile, wedged tunnel),
-    kills the child's process group and RESTARTS it on the rows after
-    the stalled one — one bad row costs its stall window, not the tail
-    (r2 lost five rows to three sequential 60 s timeouts).
-  * Cheap rows share one child (one interpreter + jax import + cache
-    load, ~6 s, instead of five); expensive/flaky rows get their own
-    child under a hard cap.
-  * A do-nothing `warmup` row runs first to absorb the tunnel's
-    cold-attach stall (first device op after TPU idle: 2-4 min; warm:
-    ~1 s, and warmth carries across processes) so the stall can never
-    land on a row that matters.
+    stream with row-aware stall windows and, on a stall (cache-miss
+    compile, wedged tunnel), kills the child's process group and
+    RESTARTS it on the rows after the stalled one, warmup-absorber
+    first — one bad row costs its stall window, not the tail.
+  * ONE child, not per-row children: per-process attach stalls of
+    2-7 min were observed even when a previous child had JUST
+    completed device ops (cross-process warmth is unreliable on this
+    tunnel), so subprocess-per-row burned minutes per row; a single
+    child pays the attach once and runs all 13 rows in ~150s warm.
+  * A `warmup` row runs first (420s stall allowance) to absorb the
+    attach stall AND pre-compile one small Pallas program so a cold
+    Mosaic compile-server's first-build minutes land there too.
   * Every child enables the persistent compilation cache
     (.jax_cache/, committed to the repo) — repeat runs, including the
     driver's end-of-round run, compile in <1 s per program.
-  * Row order is information-priority: headline first, then the
+  * Row order is information-priority: headline rows first, then the
     README correctness oracle (smc-parity) and the reference wall-clock
-    claim, perf diagnostics after — when the budget dies, parity
-    survives.
+    claim, perf diagnostics after, expensive rows last — when the
+    budget dies, the important numbers have already landed.
 
 Timing notes: on the tunneled axon backend ``block_until_ready`` can
 return before execution finishes, so every timed region ends with a
@@ -590,6 +591,9 @@ def _group_main(names):
 # Parent-side orchestration (no JAX in this process).
 # --------------------------------------------------------------------------
 
+_STALL_WINDOWS = {"warmup": 420.0, "sweep-xla": 110.0,
+                  "g-and-k": 140.0, "rejection": 110.0}
+
 _poisoned = [False]
 # True after a child was killed mid-row: killing a JAX client mid-op
 # leaves the tunnel/device in a state where the NEXT process's first op
@@ -625,7 +629,8 @@ def _drain_readers(p, q, on_line, deadline, stall_for):
         on_line(tag, line)
 
 
-def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
+def run_rows(names, total_cap, stall_s=75.0, results=None, label=None,
+             on_row=None):
     """Run rows (one child process, sequential) with a streaming
     watchdog: if the child goes `stall_s` with no output line — a warm
     row always prints STAGE/ROW lines well inside that — it is killed
@@ -680,6 +685,8 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
                 results[name] = res
                 log(f"ROW OK [{name}] ({dt:.0f}s): "
                     + json.dumps(res, default=str))
+                if on_row is not None:
+                    on_row(name, res)
 
         p = sp.Popen(
             [sys.executable, os.path.abspath(__file__), "--rows",
@@ -701,12 +708,11 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None):
             t.start()
 
         def stall_for(state=state):
-            # the poison/attach absorber gets the LONG window it needs
-            # (max, not replace: the initial warmup call passes a ~390s
-            # stall_s of its own and must keep it — observed stalls run
-            # past 300s)
-            return max(stall_s, 330.0) if state["row"] == "warmup" \
-                else stall_s
+            # row-aware windows (max with stall_s, never less): warmup
+            # absorbs attach stalls observed past 380s; the silent-
+            # compute rows legitimately print nothing for 50-70s warm
+            # (sweep-xla 47-66s, g-and-k up to 70s, rejection ~36s)
+            return max(stall_s, _STALL_WINDOWS.get(state["row"], 0.0))
 
         why, rc = _drain_readers(p, q, on_line,
                                  time.perf_counter() + cap, stall_for)
@@ -794,67 +800,42 @@ def main():
     log(f"bench budget: {BUDGET_S:.0f}s; cache dir: "
         f"{os.path.join(REPO, '.jax_cache')}")
 
-    # Cold-attach absorber first (see row_warmup): the first device op
-    # after TPU idle stalls 2-4 min regardless of which child issues it.
-    # Give it everything except a reserve for the headline row itself;
-    # once it lands, every real row runs warm (6-45 s with the committed
-    # compile cache). stall_s = the full cap: silence IS this row's job.
-    warm = run_row("warmup", remaining() - 150,
-                   stall_s=max(remaining() - 150, 60))
-    if warm:
-        log(f"tunnel attach: {warm['attach_s']:.0f}s")
+    # ONE child runs every row sequentially (r3 redesign): per-process
+    # attach stalls of 2-7 min were observed even when a PREVIOUS child
+    # had just completed device ops (cross-process warmth is not
+    # reliable), so subprocess-per-row burned minutes per row while a
+    # single child paid the attach once and ran all 13 rows in ~150s.
+    # The streaming watchdog still kills+restarts on a per-row stall
+    # (salvaging the remainder, absorber-first), so one wedged row
+    # costs its stall window, not the tail. Order = information
+    # priority: warmup absorber, headline rows, the README correctness
+    # oracle + wall-clock claim, diagnostics, expensive rows last.
+    order = ["warmup", "sweep-pallas", "sweep-fused", "smc-parity",
+             "ais-wallclock", "roofline", "ais-sweep", "mcmc-sweep",
+             "streaming", "ais-fused", "rejection", "sweep-xla",
+             "g-and-k"]
 
-    # Headline: the split Pallas-cost sweep lands a strong number first
-    # (~135M updates/s; ~11 s warm including cache loads), then the
-    # fused one-kernel sweep — the known winner since the r3 dense-
-    # layout fix (~139M) — improves it.
-    pallas = run_row("sweep-pallas", min(remaining() - 60, 150))
-    if pallas:
-        emit_headline(pallas["updates_per_s"])
-    fused = run_row("sweep-fused", min(remaining() - 60, 90))
-    if fused:
-        emit_headline(fused["updates_per_s"])
+    results = {}
 
-    # One grouped child for the cheap rows (one interpreter + jax
-    # import + cache load instead of five). Order inside the group =
-    # information priority: the README correctness oracle (smc-parity)
-    # and the reference's wall-clock claim land FIRST, perf diagnostics
-    # after — when the budget dies mid-group, parity survives (r2
-    # inverted this and lost parity to diagnostics).
-    group = run_rows(
-        ["smc-parity", "ais-wallclock", "roofline", "ais-sweep",
-         "mcmc-sweep", "streaming", "ais-fused"],
-        total_cap=remaining() - 120, label="group")
-    log_utilization(group.get("roofline"))
-    if not pallas and group.get("ais-sweep"):
-        # sweep-pallas failed: the AIS sweep number keeps the headline
-        # non-zero until the retry slot below
-        emit_headline(group["ais-sweep"]["updates_per_s"])
+    def on_row(name, res):
+        if name == "warmup":
+            log(f"tunnel attach: {res['attach_s']:.0f}s")
+        if name in ("sweep-pallas", "sweep-fused"):
+            emit_headline(res["updates_per_s"])
+        if name == "ais-sweep" and not any(
+                r in results for r in ("sweep-pallas", "sweep-fused")):
+            emit_headline(res["updates_per_s"])  # degraded fallback
 
-    # Expensive/flaky rows, each in its own child under a hard cap.
-    run_row("rejection", min(remaining() - 90, 90))
-    xla = run_row("sweep-xla", min(remaining() - 60, 90))
-    if xla:
-        emit_headline(xla["updates_per_s"])
+    run_rows(order, total_cap=remaining() - 8, results=results,
+             on_row=on_row, label="all")
+    log_utilization(results.get("roofline"))
 
-    # Retry BEFORE the g-and-k tail row: if the winning Pallas row
-    # failed earlier (transient tunnel stall), give it one more clean
-    # shot while budget remains — g-and-k must not starve the headline.
-    if not pallas and remaining() > 60:
-        pallas = run_row("sweep-pallas", remaining() - 40)
-        if pallas:
-            emit_headline(pallas["updates_per_s"])
-    run_row("g-and-k", min(remaining() - 10, 120))
-
-    # transient tunnel stalls occasionally eat one diagnostic row; give
-    # the stragglers a second shot if budget remains
-    retry = [n for n in ("smc-parity", "ais-wallclock", "roofline",
-                         "ais-sweep", "mcmc-sweep", "streaming",
-                         "ais-fused") if n not in group]
-    if retry and remaining() > 40:
-        run_rows(retry, total_cap=remaining() - 10, results=group,
-                 label="retry")
-        log_utilization(group.get("roofline"))
+    # second pass for anything salvaged away, if budget remains
+    missing = [n for n in order if n not in results and n != "warmup"]
+    if missing and remaining() > 40:
+        run_rows(missing, total_cap=remaining() - 8, results=results,
+                 on_row=on_row, label="retry")
+        log_utilization(results.get("roofline"))
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records
