@@ -759,17 +759,6 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None,
     return results
 
 
-def run_row(name, timeout_s, stall_s=None):
-    """Single-row convenience wrapper over run_rows. A singleton's
-    stall window IS its cap (sweep-xla runs 47-66 s with no output;
-    the 75 s group default is for multi-row salvage)."""
-    if timeout_s < 20:
-        log(f"ROW SKIPPED [{name}]: {timeout_s:.0f}s left < 20s floor")
-        return None
-    return run_rows([name], timeout_s,
-                    stall_s=stall_s or timeout_s).get(name)
-
-
 _printed_headline = [0.0]
 
 
