@@ -61,7 +61,10 @@ from .statistics import (  # noqa: F401
 from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
 )
-from .core.ais import AIS, make_run, make_sweep, sample, sample_raw  # noqa: F401
+from .core.ais import (  # noqa: F401
+    AIS, MCMCDistributed, MCMCThreads, make_run, make_sweep, sample,
+    sample_raw,
+)
 from .core.smc import smc, smc_stepped  # noqa: F401
 from .core.tsmc import tsmc  # noqa: F401
 from .core.abcde import ABCDE  # noqa: F401

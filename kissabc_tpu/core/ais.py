@@ -330,7 +330,21 @@ def sample_raw(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     return tree_map(lambda x: x[:ns], flat), valid
 
 
-def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
+class MCMCThreads:
+    """Positional multi-chain marker — drop-in for the reference's
+    re-exported ``MCMCThreads`` (KissABC.jl:175): ``sample(model,
+    AIS(N), MCMCThreads(), ns, nchains)`` ports verbatim and routes to
+    the ``chains=nchains`` vmapped-chain path."""
+
+
+class MCMCDistributed:
+    """Positional multi-chain marker — drop-in for the reference's
+    ``MCMCDistributed`` (KissABC.jl:175). Chains are vmapped like
+    MCMCThreads; add ``mesh=make_mesh(chain=...)`` to actually place
+    them on separate devices (see docs/migration.md)."""
+
+
+def sample(model, sampler: AIS, ns, *args, ntransitions: int = 1,
            discard_initial: int = 0, retry_sampling: int = 100,
            chains: int | None = None, key=0, progress: bool = False,
            kernel=mixture_one, mesh=None, partner_scheme="auto",
@@ -338,7 +352,9 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     """KissABC-style entry point: returns per-dimension ``Particles``
     (unwrapped when one-dimensional), like bundle_samples
     (KissABC.jl:82-94). ``chains=Nc`` concatenates Nc independent chains
-    (the MCMCThreads path, KissABC.jl:96-104). With a 2-D mesh
+    (the MCMCThreads path, KissABC.jl:96-104); the reference's literal
+    positional form ``sample(model, AIS(N), MCMCThreads(), ns, Nc)``
+    (or ``MCMCDistributed()``) is also accepted. With a 2-D mesh
     ``make_mesh(chain=..., walker=...)`` the chain axis shards via the
     vmapped dimension and the walker axis via in-run sharding
     constraints. ``progress=True`` prints per-block progress from inside
@@ -347,6 +363,26 @@ def sample(model, sampler: AIS, ns: int, *, ntransitions: int = 1,
     available on the reference's re-exported sample): t * ntransitions
     sweeps per emitted block in red/black mode, the last of every t
     recorded steps in sequential mode."""
+    if isinstance(ns, (MCMCThreads, MCMCDistributed)) or (
+            isinstance(ns, type)
+            and issubclass(ns, (MCMCThreads, MCMCDistributed))):
+        # reference positional form: sample(model, sampler, marker,
+        # ns, nchains)
+        if len(args) != 2:
+            raise TypeError(
+                "sample(model, sampler, MCMCThreads(), ns, nchains) "
+                f"needs ns and nchains, got {len(args)} extra args")
+        if chains is not None:
+            raise TypeError(
+                "pass nchains positionally after MCMCThreads() OR as "
+                "chains=, not both")
+        ns, chains = args
+    elif args:
+        raise TypeError(
+            f"sample() got unexpected positional arguments {args}; did "
+            "you mean sample(model, sampler, MCMCThreads(), ns, "
+            "nchains)?")
+    ns = int(ns)
     if chains is None:
         flat, _ = sample_raw(
             model, sampler, ns, ntransitions=ntransitions,

@@ -158,3 +158,21 @@ def test_thinning_reduces_autocorrelation():
     import pytest
     with pytest.raises(ValueError):
         ka.sample(mdl, ka.AIS(8), 10, thinning=0)
+
+
+def test_positional_mcmcthreads_marker():
+    """The reference's literal multi-chain call form (KissABC.jl:175
+    exports MCMCThreads/MCMCDistributed) ports verbatim:
+    sample(model, AIS(N), MCMCThreads(), ns, nchains)."""
+    D = ka.CommonLogDensity(1, lambda k: jax.random.normal(k, (1,)),
+                            lambda x, key: -0.5 * (x[0] ** 2))
+    r = ka.sample(D, ka.AIS(16), ka.MCMCThreads(), 64, 2, key=1)
+    rk = ka.sample(D, ka.AIS(16), 64, chains=2, key=1)
+    np.testing.assert_array_equal(r.particles, rk.particles)
+    # MCMCDistributed marker and the bare-class spelling also route
+    r2 = ka.sample(D, ka.AIS(16), ka.MCMCDistributed, 64, 2, key=1)
+    np.testing.assert_array_equal(r2.particles, rk.particles)
+    with pytest.raises(TypeError, match="not both"):
+        ka.sample(D, ka.AIS(16), ka.MCMCThreads(), 64, 2, chains=3)
+    with pytest.raises(TypeError, match="unexpected positional"):
+        ka.sample(D, ka.AIS(16), 64, 2)

@@ -115,6 +115,8 @@ def test_doc_signature_matches_runtime(name, docsig):
     real_pos = [p.name for p in real.parameters.values()
                 if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
                 and p.default is p.empty]
+    real_pos += ["*" + p.name for p in real.parameters.values()
+                 if p.kind == p.VAR_POSITIONAL]
     real_kw = {p.name: p for p in real.parameters.values()
                if p.kind == p.KEYWORD_ONLY
                or (p.kind == p.POSITIONAL_OR_KEYWORD
