@@ -591,8 +591,13 @@ def _group_main(names):
 # Parent-side orchestration (no JAX in this process).
 # --------------------------------------------------------------------------
 
-_STALL_WINDOWS = {"warmup": 420.0, "sweep-xla": 110.0,
+_STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   "g-and-k": 140.0, "rejection": 110.0}
+# warmup's stall window is unbounded ON PURPOSE: its job is to sit
+# through the attach stall (observed up to 7+ min), and killing it at
+# any finite window guarantees the run fails while waiting might still
+# leave time for the ~15s headline+parity tail — the row CAP (timeout)
+# remains the only bound.
 
 _poisoned = [False]
 # True after a child was killed mid-row: killing a JAX client mid-op
