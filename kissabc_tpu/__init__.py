@@ -78,5 +78,5 @@ from .ops.pallas_kernels import (  # noqa: F401
     make_streaming_moment_cost, shard_batched_cost,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 from .particles import pcov, pcor  # noqa: F401
