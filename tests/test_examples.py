@@ -66,3 +66,36 @@ def test_example_streaming_sim(capsys):
     runpy.run_path(path, run_name="__main__")  # asserts internally
     out = capsys.readouterr().out
     assert "shape k" in out and "scale lam" in out
+
+
+def test_example_n2(capsys):
+    """5-parameter mixture walkthrough (reference docs example 2):
+    both posteriors must localize the peak (a ~ 1)."""
+    import os
+    import re
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_n2.py")
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "AIS posterior" in out and "smc posterior" in out
+    firsts = [float(m) for m in re.findall(r"\[([\d.]+) ±", out)]
+    assert len(firsts) == 2, out
+    for a in firsts:
+        assert abs(a - 1.0) < 0.25, out
+
+
+def test_example_tsmc(capsys):
+    """Conjugate-normal tsmc walkthrough: posterior and log-evidence
+    printed against their analytic values (asserted internally by
+    comparing the printed numbers here)."""
+    import os
+    import re
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_tsmc.py")
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    m = re.search(r"log-evidence: (-?[\d.]+)\s+\(analytic (-?[\d.]+)\)",
+                  out)
+    assert m, out
+    got, ana = float(m.group(1)), float(m.group(2))
+    assert abs(got - ana) < 0.5, out
