@@ -99,3 +99,24 @@ def test_example_tsmc(capsys):
     assert m, out
     got, ana = float(m.group(1)), float(m.group(2))
     assert abs(got - ana) < 0.5, out
+
+
+def test_example_expmix_reduced():
+    """The reference's commented-out heavy benchmark
+    (test/runtests.jl:256-274: exp-mixture, expected u1 ~ 0.49,
+    p1 ~ 0.88) at reduced cost (n=1e5 draws, AIS(64) x 64 samples):
+    the posterior must localize near the reference CI within its own
+    MC spread. The full-budget config is examples/example_expmix.py."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    import kissabc_tpu as ka
+    from example_expmix import cost, prior
+
+    plan = ka.ApproxPosterior(prior, lambda th, k: cost(th, k, 10**5),
+                              0.02)
+    u1p, p1p = ka.sample(plan, ka.AIS(64), 64, discard_initial=1500,
+                         key=1)
+    assert u1p.approx(0.49, atol=0.12), u1p
+    assert p1p.approx(0.88, atol=0.12), p1p
