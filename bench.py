@@ -735,9 +735,13 @@ def run_rows(names, total_cap, stall_s=75.0, results=None, label=None,
             stuck = state["row"]
             if stuck in pending:
                 pending = pending[pending.index(stuck) + 1:]
-            else:  # crash before any STAGE line: drop the head so a
-                # crash-looping child cannot spin forever
+            elif stuck != "warmup":  # crash before any STAGE line: drop
+                # the head so a crash-looping child cannot spin forever
                 pending = pending[1:]
+            # stuck == "warmup" (died inside the prepended absorber):
+            # keep pending intact — the head row never ran, and the
+            # group deadline bounds any crash loop (mirrors the stall
+            # path below)
             continue
         # timeout/stall: kill the whole child process group (exact pids
         # we own — never pattern kills) and salvage the rows after the

@@ -15,9 +15,11 @@ runs INSIDE the Pallas kernel):
 Summaries: the first two raw moments of the simulated sample. The cost
 compares them to the observed moments in relative error. With
 "observed" data generated at (k=1.7, lam=2.0), smc recovers both
-parameters. (Order-statistic summaries — octiles, medians — cannot be
-streamed; use the plain XLA cost path for those, cf.
-examples/example_gk.py and example_expmix.py.)
+parameters. (EXACT order statistics — octiles, medians — cannot be
+streamed, but Part 2 below streams the equivalent ecdf-probe summaries
+for a 4-parameter g-and-k model; the plain XLA cost path remains the
+exact-order-statistic option, cf. examples/example_gk.py and
+example_expmix.py.)
 """
 
 import os

@@ -904,10 +904,11 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                 rows = pl.ds(rr, 1)
                 ths = [r[rows, :] for r in th_refs]        # (1,128) each
                 theta = jax.tree_util.tree_unflatten(treedef, ths)
-                sums = [jnp.zeros((1, 128), jnp.float32)
-                        for _ in range(nstats)]
 
-                for j in range(nchunks):
+                def gen_pair(j):
+                    """One pair of (chunk,128) noise slabs for chunk-pair
+                    j (j may be traced; ``_stub_bits`` accepts traced
+                    counters and the hw path is counter-free)."""
                     if bits == "hw":
                         b1 = pltpu.bitcast(pltpu.prng_random_bits(shape),
                                            jnp.uint32)
@@ -924,11 +925,57 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                     if noise == "normal":
                         r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
                         cv, sv = _sincos_2pi(u2)
-                        ea, eb = r * cv, r * sv
+                        return r * cv, r * sv
+                    return u1, u2
+
+                def accum(sums, x, valid):
+                    sums = list(sums)
+                    if stats is None:
+                        # raw moments: mask x once (0^p == 0), then
+                        # the incremental power chain
+                        if valid is not None:
+                            x = jnp.where(valid, x, np.float32(0.0))
+                        xp = x
+                        for p in range(nstats):
+                            sums[p] = sums[p] + jnp.sum(
+                                xp, axis=0, keepdims=True)
+                            if p + 1 < nstats:
+                                xp = xp * x
                     else:
-                        ea, eb = u1, u2
+                        # general stats: g(0) != 0, so mask each
+                        # CONTRIBUTION, not x
+                        for p, g in enumerate(stats):
+                            gx = jnp.asarray(g(x), jnp.float32)
+                            if valid is not None:
+                                gx = jnp.where(valid, gx,
+                                               np.float32(0.0))
+                            sums[p] = sums[p] + jnp.sum(
+                                gx, axis=0, keepdims=True)
+                    return tuple(sums)
+
+                sums = tuple(jnp.zeros((1, 128), jnp.float32)
+                             for _ in range(nstats))
+                # Full (unmasked) chunk pairs run under lax.fori_loop so
+                # the Mosaic kernel stays O(1) in ndraws — the former
+                # Python unroll grew the kernel linearly (~98 bodies at
+                # ndraws=100k) and blew up cold compiles. Bit-stream
+                # order is unchanged (sequential pairs, same ctr values),
+                # so interpret-mode golden replays still match bitwise.
+                nfull = ndraws // (2 * chunk)
+
+                def full_pair(j, sums):
+                    ea, eb = gen_pair(j)
+                    for eps in (ea, eb):
+                        x = jnp.asarray(draw(theta, eps), jnp.float32)
+                        sums = accum(sums, x, None)
+                    return sums
+
+                if nfull:
+                    sums = jax.lax.fori_loop(0, nfull, full_pair, sums)
+                if nchunks > nfull:  # at most one partial tail pair
+                    ea, eb = gen_pair(nfull)
                     for half, eps in ((0, ea), (1, eb)):
-                        start = (2 * j + half) * chunk
+                        start = (2 * nfull + half) * chunk
                         if start >= ndraws:
                             continue
                         x = jnp.asarray(draw(theta, eps), jnp.float32)
@@ -937,27 +984,7 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
                             sub = jax.lax.broadcasted_iota(
                                 jnp.int32, shape, 0)
                             valid = start + sub < ndraws
-                        if stats is None:
-                            # raw moments: mask x once (0^p == 0), then
-                            # the incremental power chain
-                            if valid is not None:
-                                x = jnp.where(valid, x, np.float32(0.0))
-                            xp = x
-                            for p in range(nstats):
-                                sums[p] = sums[p] + jnp.sum(
-                                    xp, axis=0, keepdims=True)
-                                if p + 1 < nstats:
-                                    xp = xp * x
-                        else:
-                            # general stats: g(0) != 0, so mask each
-                            # CONTRIBUTION, not x
-                            for p, g in enumerate(stats):
-                                gx = jnp.asarray(g(x), jnp.float32)
-                                if valid is not None:
-                                    gx = jnp.where(valid, gx,
-                                                   np.float32(0.0))
-                                sums[p] = sums[p] + jnp.sum(
-                                    gx, axis=0, keepdims=True)
+                        sums = accum(sums, x, valid)
                 for p in range(nstats):
                     out_refs[p][rows, :] = sums[p] * inv_n
                 return 0

@@ -6,6 +6,7 @@ import io
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import kissabc_tpu as ka
 from kissabc_tpu.utils import checkpoint as ckpt
@@ -76,9 +77,12 @@ def test_profiler_trace_real_sampler(tmp_path):
     import os
     logdir = str(tmp_path / "trace_smc")
     with ka.trace(logdir) as d:
-        res = ka.smc(ka.Normal(1, 0.2),
-                     lambda x: jnp.abs(x * x + 1 - 1.5),
-                     nparticles=128, max_iters=5, key=0)
+        # max_iters=5 caps the traced program on purpose (the trace is
+        # the artifact under test) — the safety-bound warning is expected
+        with pytest.warns(RuntimeWarning, match="max_iters"):
+            res = ka.smc(ka.Normal(1, 0.2),
+                         lambda x: jnp.abs(x * x + 1 - 1.5),
+                         nparticles=128, max_iters=5, key=0)
     assert d == logdir
     assert res.C.shape[0] == 128
     xplanes = []

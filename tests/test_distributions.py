@@ -698,7 +698,11 @@ def test_truncated_discrete_in_factored_smc():
         k, u = th
         return jnp.abs(k.astype(jnp.float32) - 12.0) * 0.1 + jnp.abs(u - 0.5)
 
-    res = ka.smc(pri, cost, nparticles=256, epstol=0.2, max_iters=40, key=3)
+    # the budget cap (max_iters=40) fires before epstol on this discrete
+    # cost floor — expected here; the assertions below are about dtypes
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        res = ka.smc(pri, cost, nparticles=256, epstol=0.2, max_iters=40,
+                     key=3)
     ks = np.asarray(res.P[0].particles)
     assert ks.dtype in (np.int32, np.float32)
     assert (np.round(ks) == ks).all()

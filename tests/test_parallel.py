@@ -106,9 +106,13 @@ def test_smc_stepped_sharded_checkpoint_resume(tmp_path):
     full = ka.smc_stepped(pri, cost, epstol=0.1, mesh=mesh, key=7)
 
     # interrupted run: stop after 3 iterations, checkpointing every one
+    # (the max_iters cap simulates the interruption, so its safety-bound
+    # warning is the expected signal here)
     try:
-        ka.smc_stepped(pri, cost, epstol=0.1, mesh=mesh, key=7,
-                       checkpoint_path=p, checkpoint_every=1, max_iters=3)
+        with pytest.warns(RuntimeWarning, match="max_iters"):
+            ka.smc_stepped(pri, cost, epstol=0.1, mesh=mesh, key=7,
+                           checkpoint_path=p, checkpoint_every=1,
+                           max_iters=3)
     except Exception:
         pass
     resumed = ka.smc_stepped(pri, cost, epstol=0.1, mesh=mesh, key=7,

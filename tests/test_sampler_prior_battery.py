@@ -64,6 +64,11 @@ CASES = [
 @pytest.mark.parametrize(
     "prior,cost,check", CASES,
     ids=[repr(c[0])[:48] for c in CASES])
+# max_iters=25 is a deliberate per-case compute budget; SOME priors hit
+# it (heavy-tailed ones converge slower), so the safety-bound warning is
+# expected-but-not-guaranteed — ignore it rather than assert it
+@pytest.mark.filterwarnings(
+    "ignore:smc. stopped at the max_iters:RuntimeWarning")
 def test_smc_on_prior(prior, cost, check):
     res = ka.smc(prior, cost, nparticles=128, max_iters=25, key=11)
     P = res.P if not isinstance(res.P, (tuple, list)) else res.P[0]
@@ -77,7 +82,10 @@ def test_smc_vector_prior_mvnormal():
     def cost(x, key):
         return jnp.linalg.norm(x - jnp.asarray([1.0, -1.0, 0.5]))
 
-    res = ka.smc(prior, cost, nparticles=256, max_iters=30, key=12)
+    # deterministic vector cost has no noise floor the eps-stall rule
+    # can find within the 30-iteration budget: the cap firing is expected
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        res = ka.smc(prior, cost, nparticles=256, max_iters=30, key=12)
     med = [p.median() for p in res.P]
     assert np.allclose(med, [1.0, -1.0, 0.5], atol=0.5), med
 
@@ -89,7 +97,8 @@ def test_smc_simplex_prior_dirichlet():
     def cost(x, key):
         return jnp.linalg.norm(x - target)
 
-    res = ka.smc(prior, cost, nparticles=256, max_iters=30, key=13)
+    with pytest.warns(RuntimeWarning, match="max_iters"):
+        res = ka.smc(prior, cost, nparticles=256, max_iters=30, key=13)
     arr = np.stack([p.particles for p in res.P], axis=-1)
     # posterior stays on the simplex (push projects back)
     assert (arr > 0).all() and np.allclose(arr.sum(-1), 1.0, atol=1e-4)
