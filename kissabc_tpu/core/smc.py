@@ -78,7 +78,7 @@ class SMCResult(NamedTuple):
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
                  resample, verbose, constrain=lambda t: t,
-                 cost_vectorized=False, partner_scheme="auto"):
+                 cost_vectorized=False, partner_scheme="auto", mesh=None):
     """Build the jittable smc(key) -> final-state program. ``constrain``
     pins population arrays to a mesh axis (parallel/mesh.py); identity on
     a single chip. With ``cost_vectorized`` the user cost takes the whole
@@ -116,7 +116,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         proposals all read the pre-sweep snapshot (smc.jl:160-167)."""
         kp, kmh, kc = jax.random.split(key, 3)
         props = gaussian_diff_propose(kp, thetas, d, max_stretch,
-                                      scheme=partner_scheme)
+                                      scheme=partner_scheme, mesh=mesh)
         lprob = -jax.random.exponential(kmh, (n,), _f32)  # log U per walker
         lpp = jnp.asarray(vlogpdf(props), _f32)
         # gate 1 — prior-only MH (smc.jl:172-175); -inf lpp rejected
@@ -279,7 +279,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         mcmc_retrys=mcmc_retrys, mcmc_tol=mcmc_tol, epstol=epstol,
         r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
         max_iters=max_iters, resample=resample, verbose=verbose,
-        constrain=constrainer(mesh, "walker"),
+        constrain=constrainer(mesh, "walker"), mesh=mesh,
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
     pushed, xs, lps, alive, eps, logz, it, done = \
         jax.jit(program)(as_key(key))
@@ -344,7 +344,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         mcmc_tol=mcmc_tol, epstol=epstol, r_epstol=r_epstol,
         min_r_ess=min_r_ess, max_stretch=max_stretch, max_iters=max_iters,
         resample=resample, verbose=False,
-        constrain=constrainer(mesh, "walker"),
+        constrain=constrainer(mesh, "walker"), mesh=mesh,
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
 
     init_state = jax.jit(program.init_state)

@@ -270,7 +270,8 @@ def _resolve_scheme(scheme, n):
     return scheme
 
 
-def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto"):
+def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto",
+                          mesh=None):
     """The smc rejuvenation move (smc.jl:160-167): for every particle i,
     two distinct partners a,b != i from the *snapshot* ensemble and
     W = (theta_b - theta_a) * max_stretch * N(0,1) / sqrt(d); correction 0.
@@ -296,9 +297,21 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto"):
       slower end-to-end.
     - ``"gather"``: per-walker random distinct partners, exactly the
       reference's selection law.
+
+    ``mesh``: when the ensemble is sharded over a mesh ``walker`` axis,
+    pass the mesh so the two rotations run as shard-sized
+    collective-permutes (``parallel.mesh.roll_walkers``) instead of
+    GSPMD's full-population all-gather lowering of dynamic ``jnp.roll``
+    — bit-identical output, O(n/ndev) bytes/chip instead of O(n).
     """
     import numpy as np
     n = jax.tree_util.tree_leaves(ens)[0].shape[0]
+    # NOTE: "auto" resolves from n alone, NEVER from the mesh — the
+    # sharded-vs-unsharded bitwise determinism contract (test_parallel)
+    # requires identical partner laws across layouts. Small sharded
+    # ensembles therefore keep the gather law (its all-gather is cheap
+    # at small n); large ones get roll + the ppermute path below. Pass
+    # scheme="roll" explicitly to force ppermutes at any size.
     scheme = _resolve_scheme(scheme, n)
     ka, kb, kw = jax.random.split(key, 3)
     w = max_stretch * jax.random.normal(kw, (n,), _f32) / math.sqrt(d)
@@ -306,6 +319,14 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto"):
         r1 = jax.random.randint(ka, (), 1, n, dtype=jnp.int32)
         r2 = jax.random.randint(kb, (), 1, n - 1, dtype=jnp.int32)
         r2 = r2 + (r2 >= r1)
+        if mesh is not None:
+            from ..parallel.mesh import roll_walkers
+            ra = roll_walkers(ens, r1, mesh)
+            rb = roll_walkers(ens, r2, mesh)
+            return tree_map(
+                lambda x, xa, xb: x + (xb - xa)
+                * w.reshape((n,) + (1,) * (x.ndim - 1)),
+                ens, ra, rb)
         return tree_map(
             lambda x: x + (jnp.roll(x, r2, axis=0) - jnp.roll(x, r1, axis=0))
             * w.reshape((n,) + (1,) * (x.ndim - 1)),

