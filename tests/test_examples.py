@@ -68,6 +68,18 @@ def test_example_streaming_sim(capsys):
     assert "shape k" in out and "scale lam" in out
 
 
+def test_example_scan_sim(capsys):
+    """Sequential-simulator (Markovian) toolkit: OU 3-parameter recovery
+    via streamed lag-1 statistics + drifted-Wiener series matching
+    (off-TPU this exercises the vmapped-threefry scan fallback)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_scan_sim.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "OU reversion a" in out and "Wiener drift mu" in out
+
+
 def test_example_n2(capsys):
     """5-parameter mixture walkthrough (reference docs example 2):
     both posteriors must localize the peak (a ~ 1)."""

@@ -29,6 +29,7 @@ def test_fallback_batched_cost_matches_reference_stat():
     assert abs(c.mean() - 0.0357) < 0.005
 
 
+@pytest.mark.tpu_hw
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
 def test_kernel_statistics_on_tpu():
     n = 8192
@@ -135,6 +136,7 @@ def test_fused_sweep_interpret_gating():
     assert np.isfinite(olps[changed]).all()
 
 
+@pytest.mark.tpu_hw
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
 def test_fused_sweep_matches_split_sweep_statistically():
     """Iterating the fused sweep and the split sweep (XLA moves + Pallas
@@ -387,6 +389,7 @@ class TestStreamingMomentCost:
         with pytest.raises(ValueError, match="scalar"):
             cost((jnp.ones((8, 2)),), jax.random.key(0))
 
+    @pytest.mark.tpu_hw
     @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
     def test_hw_statistics_match_flagship_kernel(self):
         """On hardware: with the identity draw + flagship finalize, the
@@ -494,6 +497,7 @@ class TestFusedAISSweep:
         np.testing.assert_array_equal(
             oll[~ch], np.asarray(lds[1])[~ch])
 
+    @pytest.mark.tpu_hw
     @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
     def test_matches_split_ais_sweep_statistically(self):
         """Iterating the fused AIS sweep and the production split sweep
@@ -532,6 +536,110 @@ class TestFusedAISSweep:
         tf = run(make_fused_flagship_ais_sweep(n, scale=scale),
                  jax.random.fold_in(key, 8))
         for a, b, tol in ((ts[0], tf[0], 3e-3), (ts[1], tf[1], 3e-4)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert abs(a.mean() - b.mean()) < tol, (a.mean(), b.mean())
+            assert abs(a.std() / b.std() - 1.0) < 0.25, (a.std(), b.std())
+
+
+class TestFusedAISOneKernel:
+    """make_fused_flagship_ais_sweep_onekernel (r4): BOTH red/black
+    halves inside a single pallas_call with in-kernel dynamic
+    ``pltpu.roll`` partner rotation (VERDICT r3 next #3)."""
+
+    def test_roll_flat_128_vs_numpy(self):
+        """_roll_flat_128 == np.roll(flat, -k) for shifts spanning the
+        lane boundary, row boundary, zero, and the full range — dynamic
+        (traced) shifts through a pallas_call."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from kissabc_tpu.ops.pallas_kernels import _roll_flat_128
+
+        R, L = 8, 128
+        x = np.arange(R * L, dtype=np.float32).reshape(R, L)
+
+        def kernel(s_ref, x_ref, o_ref):
+            o_ref[:] = _roll_flat_128(x_ref[:], s_ref[0])
+
+        def run(k):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+                interpret=True,
+            )(jnp.asarray([k], jnp.int32), jnp.asarray(x))
+
+        flat = x.reshape(-1)
+        for k in (0, 1, 127, 128, 129, 300, R * L - 1):
+            got = np.asarray(run(k)).reshape(-1)
+            np.testing.assert_array_equal(got, np.roll(flat, -k),
+                                          err_msg=f"shift {k}")
+
+    def test_interpret_gating(self):
+        """Same contract as the two-call fused sweep: committed walkers
+        in prior bounds with finite (lp, ll); uncommitted walkers
+        bitwise untouched; both halves commit."""
+        from kissabc_tpu.ops.pallas_kernels import \
+            make_fused_flagship_ais_sweep_onekernel
+
+        n = 512
+        thetas, lds = TestFusedAISSweep._start(n, 0.1)
+        sweep = make_fused_flagship_ais_sweep_onekernel(
+            n, scale=0.1, ndraws=700, block=256, chunk=128,
+            interpret=True, bits="stub")
+        (omu, osg), (olp, oll) = jax.jit(sweep)(
+            jax.random.key(0), thetas, lds)
+        omu, osg, olp, oll = map(np.asarray, (omu, osg, olp, oll))
+        ch = omu != np.asarray(thetas[0])
+        assert ch.sum() > 0
+        assert ch[:n // 2].sum() > 0 and ch[n // 2:].sum() > 0
+        assert ((omu[ch] >= 1) & (omu[ch] <= 3)).all()
+        assert ((osg[ch] >= 0) & (osg[ch] <= 100)).all()
+        assert np.isfinite(olp[ch]).all() and np.isfinite(oll[ch]).all()
+        np.testing.assert_array_equal(
+            omu[~ch], np.asarray(thetas[0])[~ch])
+        np.testing.assert_array_equal(
+            oll[~ch], np.asarray(lds[1])[~ch])
+
+    @pytest.mark.tpu_hw
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_matches_split_ais_sweep_statistically(self):
+        """One-kernel sweep vs the production split sweep: same
+        stationary population from the same start (hw PRNG streams
+        differ; statistical check, like the half-fused twin above)."""
+        import kissabc_tpu as ka
+        from kissabc_tpu.core.ais import make_sweep
+        from kissabc_tpu.ops.pallas_kernels import (
+            make_flagship_cost_batched,
+            make_fused_flagship_ais_sweep_onekernel)
+
+        n, sweeps, scale = 4096, 40, 0.01
+        prior = ka.Factored(ka.Uniform(1, 3),
+                            ka.TruncatedNormal(0, 0.05, 0, 100))
+        model = ka.ApproxKernelizedPosterior(
+            prior, make_flagship_cost_batched(), scale,
+            cost_vectorized=True)
+        key = jax.random.key(3)
+        thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+        lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                                  jax.random.fold_in(key, 1))
+
+        def run(sweep, k):
+            @jax.jit
+            def many(k, th, ld):
+                def body(c, kk):
+                    t, l = c
+                    return sweep(kk, t, l), None
+                (t, l), _ = jax.lax.scan(
+                    body, (th, ld), jax.random.split(k, sweeps))
+                return t
+            return many(k, thetas, lds)
+
+        ts = run(make_sweep(model, n), jax.random.fold_in(key, 7))
+        to = run(make_fused_flagship_ais_sweep_onekernel(
+            n, scale=scale, block=2048), jax.random.fold_in(key, 9))
+        for a, b, tol in ((ts[0], to[0], 3e-3), (ts[1], to[1], 3e-4)):
             a, b = np.asarray(a), np.asarray(b)
             assert abs(a.mean() - b.mean()) < tol, (a.mean(), b.mean())
             assert abs(a.std() / b.std() - 1.0) < 0.25, (a.std(), b.std())
