@@ -293,16 +293,19 @@ def row_ais_sweep():
 
 
 def row_ais_fused():
-    """Fused AIS diagnostic: the one-kernel-per-half mixture sweep
-    (make_fused_flagship_ais_sweep) vs the production split AIS path
-    (ais-sweep row). Measured 121.2M vs 110M updates/s at r3. TPU
+    """Fused AIS diagnostic: the ONE-pallas_call whole-sweep variant
+    (make_fused_flagship_ais_sweep_onekernel, in-kernel pltpu.roll
+    partner rotation — r4, targets the ~150us/sweep inter-kernel gap)
+    vs the one-kernel-per-half variant (121.2M at r3) vs the production
+    split AIS path (ais-sweep row). Reports both fused variants. TPU
     only."""
     jax = _child_init()
     import jax.numpy as jnp
 
     import kissabc_tpu as ka
     from kissabc_tpu.ops.pallas_kernels import (
-        make_flagship_cost_batched, make_fused_flagship_ais_sweep)
+        make_flagship_cost_batched, make_fused_flagship_ais_sweep,
+        make_fused_flagship_ais_sweep_onekernel)
 
     if jax.devices()[0].platform != "tpu":
         raise RuntimeError("fused AIS row is TPU-only")
@@ -310,27 +313,32 @@ def row_ais_fused():
     prior, _cost = flagship()
     model = ka.ApproxKernelizedPosterior(
         prior, make_flagship_cost_batched(), 0.005, cost_vectorized=True)
-    sweep = make_fused_flagship_ais_sweep(n, scale=0.005)
-
-    @jax.jit
-    def many(key, thetas, lds):
-        def body(c, k):
-            th, ld = c
-            return sweep(k, th, ld), None
-        (th, ld), _ = jax.lax.scan(
-            body, (thetas, lds), jax.random.split(key, iters))
-        return jnp.sum(ld[0])
 
     key = jax.random.key(0)
     thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
     lds = model.loglike_batch(jax.vmap(model.push)(thetas),
                               jax.random.fold_in(key, 1))
 
-    def call(k):
-        float(many(k, thetas, lds))
+    def rate(sweep):
+        @jax.jit
+        def many(key, thetas, lds):
+            def body(c, k):
+                th, ld = c
+                return sweep(k, th, ld), None
+            (th, ld), _ = jax.lax.scan(
+                body, (thetas, lds), jax.random.split(key, iters))
+            return jnp.sum(ld[0])
 
-    dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
-    return {"updates_per_s": n * iters / dt, "n": n, "iters": iters}
+        def call(k):
+            float(many(k, thetas, lds))
+
+        dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
+        return n * iters / dt
+
+    half = rate(make_fused_flagship_ais_sweep(n, scale=0.005))
+    one = rate(make_fused_flagship_ais_sweep_onekernel(n, scale=0.005))
+    return {"updates_per_s": max(half, one), "halfpair_updates_per_s": half,
+            "onekernel_updates_per_s": one, "n": n, "iters": iters}
 
 
 def row_mcmc_sweep():
@@ -521,6 +529,64 @@ def row_streaming():
     return out
 
 
+def row_streaming_scan():
+    """Sequential-simulator toolkit rate (make_streaming_scan_cost):
+    AR(1) recurrence, 1000 steps/walker, streamed first moment —
+    Gsteps/s of the Markovian kernel plus an end-to-end smc-sweep
+    updates/s with the scan cost (the workload class that previously
+    only had the ~27M XLA threefry fallback). TPU only."""
+    jax = _child_init()
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("streaming-scan row is TPU-only (hw PRNG)")
+    import __graft_entry__ as g
+    import kissabc_tpu as ka
+    from kissabc_tpu.ops.pallas_kernels import make_streaming_scan_cost
+
+    n, nsteps, iters = 131072, 1000, 100
+    A = np.float32(0.2)
+
+    def step(th, x, eps, t):
+        mu, s = th
+        return (1 - A) * x + A * mu + s * eps
+
+    out = {}
+    c1 = make_streaming_scan_cost(step, lambda th: th[0],
+                                  lambda th, m: m[0], nsteps=nsteps)
+    theta = (jnp.full((n,), 1.0), jnp.full((n,), 1.0))
+
+    def gen(s0):
+        def body(cc, s):
+            return cc + jnp.sum(c1(
+                theta, jax.random.fold_in(jax.random.key(1), s))), None
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            s0 + jnp.arange(iters, dtype=jnp.uint32))[0]
+    gfn = jax.jit(gen)
+
+    def call(s):
+        float(gfn(s))
+    dt = _time_scalar_fn(call, lambda r: (jnp.uint32(r * iters),), reps=3)
+    out["gsteps_per_s"] = n * nsteps * iters / dt / 1e9
+
+    # end-to-end: the smc rejuvenation sweep with the scan cost (vs the
+    # 26.9M updates/s the same model gets on the XLA threefry path)
+    stat_var = 1.0 / (1.0 - (1.0 - float(A)) ** 2)
+
+    def reduce_cost(th, m):
+        var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+        return jnp.hypot(m[0] - 1.0, (var - stat_var) / stat_var)
+
+    cost = make_streaming_scan_cost(step, lambda th: th[0], reduce_cost,
+                                    nsteps=nsteps)
+    prior = ka.Factored(ka.Uniform(0, 2), ka.Uniform(0.3, 2.0))
+    sweep = g._sweep_fn(prior, None, n, cost_batched=cost)
+    res = _time_sweep(jax, sweep, prior, n, 200, "streaming-scan-ar1")
+    out["sweep_updates_per_s"] = res["updates_per_s"]
+    return out
+
+
 def row_tsmc():
     """Adaptive tempered SMC (likelihood tempering + evidence) on the
     conjugate-normal oracle from tests/test_tsmc.py: warm end-to-end
@@ -699,6 +765,7 @@ ROWS = {
     "smc-parity": row_smc_parity,
     "streaming": row_streaming,
     "ais-fused": row_ais_fused,
+    "streaming-scan": row_streaming_scan,
     "tsmc": row_tsmc,
     "pfilter": row_pfilter,
     "abcde": row_abcde,
@@ -734,6 +801,7 @@ _STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   "g-and-k": 140.0, "rejection": 110.0,
                   # warm run + timed run back-to-back with no output
                   "tsmc": 150.0, "pfilter": 150.0, "abcde": 150.0,
+                  "streaming-scan": 150.0,
                   # a single statistical test can compile+draw silently
                   # for minutes; the row streams a line per finished test
                   "pallas-tests": 480.0}
@@ -976,7 +1044,7 @@ def main():
     # oracle + wall-clock claim, diagnostics, expensive rows last.
     order = ["warmup", "sweep-pallas", "sweep-fused", "smc-parity",
              "ais-wallclock", "roofline", "ais-sweep", "mcmc-sweep",
-             "streaming", "ais-fused", "tsmc", "pfilter", "abcde",
+             "streaming", "streaming-scan", "ais-fused", "tsmc", "pfilter", "abcde",
              "rejection", "sweep-xla", "g-and-k", "pallas-tests"]
 
     results = {}

@@ -79,5 +79,5 @@ from .ops.pallas_kernels import (  # noqa: F401
     shard_batched_cost,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 from .particles import pcov, pcor  # noqa: F401

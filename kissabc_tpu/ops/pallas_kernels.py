@@ -843,7 +843,13 @@ def _fused_ais_full_call(mu, sg, lp, ll, shifts, seed, *, n, ndraws,
                          np.float32(sd_weight))
 
     def kernel(seed_ref, shift_ref, mu_ref, sg_ref, lp_ref, ll_ref,
-               omu_ref, osg_ref, olp_ref, oll_ref):
+               omu_ref, osg_ref, olp_ref, oll_ref,
+               pmu_s, psg_s, lpp_s, corr_s, uacc_s, ins_s):
+        # pmu_s..ins_s: (Rh,128) VMEM scratch staging the per-half
+        # proposal state — Mosaic cannot lower dynamic_slice of VALUES
+        # inside the walker-block fori_loop, but dynamic ds-indexing of
+        # REFS is supported, so the whole-half proposal tensors go
+        # through scratch and the block loop reads slabs back
         pid = pl.program_id(0)  # always 0 (grid=(1,)); kept for stub ctr
         if bits == "hw":
             pltpu.prng_seed(seed_ref[0])
@@ -918,15 +924,21 @@ def _fused_ais_full_call(mu, sg, lp, ll, shifts, seed, *, n, ndraws,
                           wc_sg, nz_sg)
             inside = ((pmu >= f_mu_lo) & (pmu <= f_mu_hi)
                       & (psg >= f_sg_lo) & (psg <= f_sg_hi))
-            lpp = jnp.where(inside,
-                            lp_mu + tn_const - psg * psg * half_inv_var,
-                            neg_inf)
+            # stage via scratch so the block loop can ds-index refs
+            pmu_s[:] = pmu
+            psg_s[:] = psg
+            lpp_s[:] = jnp.where(
+                inside, lp_mu + tn_const - psg * psg * half_inv_var,
+                neg_inf)
+            corr_s[:] = corr
+            uacc_s[:] = u_acc
+            ins_s[:] = inside.astype(jnp.float32)
 
             def wb_body(wb, _):
                 rows = pl.ds(wb * rpb, rpb)
                 orow = pl.ds(base + wb * rpb, rpb)
-                pm = jax.lax.dynamic_slice_in_dim(pmu, wb * rpb, rpb)
-                ps = jax.lax.dynamic_slice_in_dim(psg, wb * rpb, rpb)
+                pm = pmu_s[rows, :]
+                ps = psg_s[rows, :]
 
                 def body(j, carry):
                     s1, s2 = carry
@@ -958,20 +970,18 @@ def _fused_ais_full_call(mu, sg, lp, ll, shifts, seed, *, n, ndraws,
                 d1 = (pm + ps * mz) - f_tmu
                 d2 = (ps * jnp.sqrt(jnp.maximum(vz, 0.0)) - f_tsd) * f_w
                 c = jnp.sqrt(d1 * d1 + d2 * d2)
-                lpp_b = jax.lax.dynamic_slice_in_dim(lpp, wb * rpb, rpb)
-                ins_b = jax.lax.dynamic_slice_in_dim(
-                    inside.astype(jnp.float32), wb * rpb, rpb) > 0.5
+                lpp_b = lpp_s[rows, :]
+                ins_b = ins_s[rows, :] > 0.5
                 llp = jnp.where(ins_b, np.float32(-0.5) * jnp.square(
                     c * inv_scale), lpp_b)
                 lp_old = lp_ref[orow, :]
                 ll_old = ll_ref[orow, :]
-                corr_b = jax.lax.dynamic_slice_in_dim(corr, wb * rpb, rpb)
-                uacc_b = jax.lax.dynamic_slice_in_dim(u_acc, wb * rpb,
-                                                      rpb)
+                corr_b = corr_s[rows, :]
+                uacc_b = uacc_s[rows, :]
                 lw = corr_b + (lpp_b + llp) - (lp_old + ll_old)
                 acc = ins_b & (jnp.log1p(-uacc_b) <= lw)
-                mu_b = jax.lax.dynamic_slice_in_dim(mu_h, wb * rpb, rpb)
-                sg_b = jax.lax.dynamic_slice_in_dim(sg_h, wb * rpb, rpb)
+                mu_b = mu_ref[orow, :]
+                sg_b = sg_ref[orow, :]
                 omu_ref[orow, :] = jnp.where(acc, pm, mu_b)
                 osg_ref[orow, :] = jnp.where(acc, ps, sg_b)
                 olp_ref[orow, :] = jnp.where(acc, lpp_b, lp_old)
@@ -999,6 +1009,7 @@ def _fused_ais_full_call(mu, sg, lp, ll, shifts, seed, *, n, ndraws,
         in_specs=[smem, smem] + [dense] * 4,
         out_specs=[dense] * 4,
         out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)] * 4,
+        scratch_shapes=[pltpu.VMEM((Rh, 128), jnp.float32)] * 6,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
@@ -1014,12 +1025,21 @@ def make_fused_flagship_ais_sweep_onekernel(
         target_mu: float = 2.0, target_sd: float = 0.04,
         sd_weight: float = 50.0, a_stretch: float = 3.0,
         mu_lo: float = 1.0, mu_hi: float = 3.0, sg_sigma: float = 0.05,
-        sg_lo: float = 0.0, sg_hi: float = 100.0, block: int = 2048,
+        sg_lo: float = 0.0, sg_hi: float = 100.0, block: int = 1024,
         chunk: int = 512, interpret: bool = False, bits: str = "hw"):
     """One-pallas_call AIS sweep: drop-in for
     ``make_fused_flagship_ais_sweep`` with BOTH red/black halves inside
     a single kernel and in-kernel ``pltpu.roll`` partner rotation
-    (no XLA work per sweep beyond the 12 partner-shift draws)."""
+    (no XLA work per sweep beyond the 12 partner-shift draws).
+
+    Measured (v5e, n=131072, 500-sweep scan): 125.1M walker-updates/s at
+    block=1024 (123.7M @ 4096, 121.0 @ 8192) vs the kernel-per-half
+    form's 122.2M — the one-kernel form removes the ~150 us/sweep
+    inter-kernel gap but pays most of it back INSIDE the kernel
+    (non-grid-pipelined walker-block loop, 96 in-kernel rolls, whole-
+    half random prologue), netting ~+2.4%. The simulator-bound ceiling
+    is ~144M (131M normals/sweep at the 144.4 Gnormals/s generator
+    roofline); both fused forms sit within ~15% of it."""
     if n % 2 or (n // 2) % block or n % 256:
         raise ValueError(
             f"one-kernel AIS sweep needs n even, n % 256 == 0 and "
@@ -1362,7 +1382,7 @@ def make_streaming_moment_cost(draw, reduce_cost, *, nmoments: int = 2,
 def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
                              observe=None, nmoments: int = 2, series=None,
                              noise: str = "normal", block: int = 1024,
-                             sub_rows: int = 8, walker_tiles: int = 8,
+                             sub_rows: int = 64, walker_tiles: int = 8,
                              bits: str = "hw",
                              interpret: bool | None = None):
     """Hardware-PRNG streaming kernel for SEQUENTIAL (Markovian)
@@ -1380,7 +1400,11 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
     over the draw axis — the recurrence is sequential in t — so walkers
     occupy BOTH sublanes and lanes: each inner iteration evolves a
     (sub_rows, 128) slab of walkers through all ``nsteps`` steps, one
-    noise slab per step (two steps per hardware-PRNG slab pair). All
+    noise slab per step (two steps per hardware-PRNG slab pair); taller
+    slabs amortize the sequential pipeline (45/92/104 Gsteps/s at
+    sub_rows 8/32/64 on v5e — sub_rows is auto-clamped to the largest
+    multiple of 8 dividing the per-program row count, so the default 64
+    degrades gracefully at small n). All
     arithmetic is elementwise over the slab, so ``step``/``init``/
     ``observe`` must be genuinely elementwise jnp math (no reductions
     or axis logic); state may be a pytree of per-walker scalars
@@ -1463,8 +1487,16 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
         n = leaves[0].shape[0]
         npad, wt = _plan_tiles(n, block, walker_tiles)
         sb_rows = wt * block
-        slab = (sub_rows, 128)
-        nslabs = (sb_rows // 128) // sub_rows
+        # auto-clamp the slab height to the per-program row count:
+        # bigger slabs amortize the per-step PRNG/pipeline overhead
+        # (measured on v5e: 45 -> 92 -> 104 Gsteps/s at 8/32/64), but it
+        # must divide the rows and stay a multiple of 8
+        sr = min(sub_rows, sb_rows // 128)
+        while (sb_rows // 128) % sr or sr % 8:
+            sr -= 8
+        sr = max(sr, 8)
+        slab = (sr, 128)
+        nslabs = (sb_rows // 128) // sr
 
         def kernel(seed_ref, *refs):
             th_refs = refs[:len(leaves)]
@@ -1493,7 +1525,7 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
                 return u1, u2
 
             def walker_slab(ws, _):
-                rows = pl.ds(ws * sub_rows, sub_rows)
+                rows = pl.ds(ws * sr, sr)
                 ths = [r[rows, :] for r in th_refs]
                 theta = jax.tree_util.tree_unflatten(treedef, ths)
                 x0 = jax.tree_util.tree_map(
@@ -1545,10 +1577,6 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
             raise ValueError(
                 f"walker_tiles*block = {sb_rows} must be a multiple of "
                 "1024 on TPU hardware (Mosaic sublane-tile alignment)")
-        if (sb_rows // 128) % sub_rows:
-            raise ValueError(
-                f"sub_rows={sub_rows} must divide the per-program row "
-                f"count {sb_rows // 128}")
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         outs = pl.pallas_call(
             kernel,

@@ -95,8 +95,8 @@ def test_stub_stream_vs_numpy_golden_odd_nsteps():
 
     cost = make_streaming_scan_cost(
         _ar1_step, _ar1_init, lambda th, m: m[0] + 10.0 * m[1],
-        nsteps=nsteps, block=block, walker_tiles=wt, bits="stub",
-        interpret=True)
+        nsteps=nsteps, block=block, walker_tiles=wt, sub_rows=8,
+        bits="stub", interpret=True)
     got = np.asarray(cost((jnp.asarray(mu), jnp.asarray(s)),
                           jax.random.key(0)))
 
@@ -117,7 +117,8 @@ def test_series_smem_reads_vs_golden():
     cost = make_streaming_scan_cost(
         _ar1_step, _ar1_init, lambda th, m: m[0], nsteps=nsteps,
         observe=lambda th, x, t, obs: (jnp.abs(x - obs),), series=y,
-        block=block, walker_tiles=wt, bits="stub", interpret=True)
+        block=block, walker_tiles=wt, sub_rows=8, bits="stub",
+        interpret=True)
     got = np.asarray(cost((jnp.asarray(mu), jnp.asarray(s)),
                           jax.random.key(2)))
 

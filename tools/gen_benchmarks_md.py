@@ -56,6 +56,12 @@ def values(rows):
         "rejection": _m(rows["rejection"]["sims_per_s"]),
         "ais_sweep": _m(rows["ais-sweep"]["updates_per_s"]),
         "ais_fused": _m(rows["ais-fused"]["updates_per_s"]),
+        "ais_fused_halfpair": _m(rows["ais-fused"].get(
+            "halfpair_updates_per_s", rows["ais-fused"]["updates_per_s"])),
+        "streaming_scan":
+            f"{rows['streaming-scan']['gsteps_per_s']:.1f}",
+        "streaming_scan_sweep":
+            _m(rows["streaming-scan"]["sweep_updates_per_s"]),
         "streaming_identity":
             f"{rows['streaming']['identity_gdraws_per_s']:.1f}",
         "streaming_gk": f"{rows['streaming']['gk_gdraws_per_s']:.1f}",
