@@ -239,3 +239,25 @@ def test_hw_statistics_match_fallback():
     assert abs(var.mean() - stat_var) / stat_var < 0.06
     # per-walker spread: time-averages over 512 correlated steps
     assert 0.02 < m1.std() < 0.5
+
+
+def test_scan_cost_on_mesh():
+    """shard_batched_cost composes with the scan cost on a walker-
+    sharded mesh (the multi-chip route a Pallas scan kernel takes);
+    per-shard key folding gives independent streams per shard."""
+    from kissabc_tpu.ops.pallas_kernels import shard_batched_cost
+    from kissabc_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(walker=8)
+    cost = shard_batched_cost(
+        make_streaming_scan_cost(_ar1_step, _ar1_init,
+                                 lambda th, m: jnp.abs(m[0] - 1.0),
+                                 nsteps=64),
+        mesh)
+    prior = ka.Factored(ka.Uniform(0, 2), ka.Uniform(0.3, 2.0))
+    res = ka.smc(prior, cost, nparticles=64, mesh=mesh,
+                 cost_vectorized=True, epstol=0.5, max_iters=50, key=3)
+    assert res.C.shape[0] == 64
+    assert float(res.eps) <= 0.5 or res.iterations >= 50
