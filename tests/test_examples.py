@@ -80,6 +80,17 @@ def test_example_scan_sim(capsys):
     assert "OU reversion a" in out and "Wiener drift mu" in out
 
 
+def test_example_sir(capsys):
+    """Stochastic SIR epidemic ABC (sequential kernel, 2-sub-step
+    multi-noise pattern + pytree state + observed series)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_sir.py")
+    runpy.run_path(path, run_name="__main__")  # asserts internally
+    out = capsys.readouterr().out
+    assert "beta" in out and "R0" in out
+
+
 def test_example_n2(capsys):
     """5-parameter mixture walkthrough (reference docs example 2):
     both posteriors must localize the peak (a ~ 1)."""
