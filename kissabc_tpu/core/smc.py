@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.moves import gaussian_diff_propose
-from ..ops.quantile import masked_quantile
+from ..ops.quantile import masked_quantile, masked_quantile_bisect
 from ..ops.resampling import replicate_alive, systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import particles_from_tree
@@ -78,7 +78,8 @@ class SMCResult(NamedTuple):
 def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
                  resample, verbose, constrain=lambda t: t,
-                 cost_vectorized=False, partner_scheme="auto", mesh=None):
+                 cost_vectorized=False, partner_scheme="auto", mesh=None,
+                 quantile_impl="auto"):
     """Build the jittable smc(key) -> final-state program. ``constrain``
     pins population arrays to a mesh axis (parallel/mesh.py); identity on
     a single chip. With ``cost_vectorized`` the user cost takes the whole
@@ -88,11 +89,21 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     d = prior.nparams
     retry_n = 1 + mcmc_retrys
     tol_count = mcmc_tol * n
-    # NOTE: the sort-based masked quantile beats the O(n)-reduction
-    # value-bisection variant on TPU even at 1M particles — the 60
-    # data-dependent bisection reductions are latency-bound inside the
-    # while body, while the sort is one fused parallel kernel
-    # (masked_quantile_bisect remains available as a utility).
+    # quantile_impl: the sort-based masked quantile beats the O(n)-
+    # reduction value-bisection variant on a SINGLE chip even at 1M
+    # particles (the 60 data-dependent bisection reductions are
+    # latency-bound inside the while body; the sort is one fused
+    # parallel kernel) — but on a multi-chip mesh the sort lowers to a
+    # full-population all-gather per iteration while the bisection is
+    # O(iters) SCALAR all-reduces (O(1) bytes/chip), so 'auto' picks
+    # bisect when the population is sharded. The two are bit-identical
+    # on the same multiset (test_ops.py), so the sharded-vs-unsharded
+    # bitwise determinism contract survives the switch.
+    if quantile_impl == "auto":
+        quantile_impl = ("bisect" if mesh is not None
+                         and getattr(mesh, "size", 1) > 1 else "sort")
+    qfn = (masked_quantile if quantile_impl == "sort"
+           else masked_quantile_bisect)
 
     vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
     if cost_vectorized:
@@ -137,7 +148,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         it = it + 1
         eps_v = eps
         prev_cnt = jnp.sum(alive)  # walkers representing prior|cost<eps_v
-        eps = masked_quantile(xs, alive, alpha)
+        eps = qfn(xs, alive, alpha)
         xmin = jnp.min(jnp.where(alive, xs, jnp.inf))
         flag = ~(eps > xmin)
         alive = jnp.where(flag, xs <= eps, xs < eps)
@@ -218,7 +229,7 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
 
 def _validate_smc_knobs(prior, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                         r_epstol, min_r_ess, max_stretch, resample,
-                        partner_scheme="auto"):
+                        partner_scheme="auto", quantile_impl="auto"):
     """Knob validation shared by smc and smc_stepped — reference error
     semantics (smc.jl:107-118) plus the string knobs this build adds."""
     if not 0 < alpha <= 1:
@@ -244,6 +255,10 @@ def _validate_smc_knobs(prior, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         raise ValueError(
             "partner_scheme must be 'auto', 'roll' or 'gather', "
             f"got {partner_scheme!r}")
+    if quantile_impl not in ("auto", "sort", "bisect"):
+        raise ValueError(
+            "quantile_impl must be 'auto', 'sort' or 'bisect', "
+            f"got {quantile_impl!r}")
     min_np = math.ceil(3 * prior.nparams / min(alpha, min_r_ess))
     if nparticles < min_np:
         raise ValueError(f"nparticles must be >= {min_np}.")
@@ -256,7 +271,8 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         max_stretch: float = 2.0, max_iters: int = 10_000,
         resample: str = "replicate", verbose: bool = False,
         parallel: bool = True, mesh=None, cost_vectorized: bool = False,
-        partner_scheme: str = "auto", key=0) -> SMCResult:
+        partner_scheme: str = "auto", quantile_impl: str = "auto",
+        key=0) -> SMCResult:
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
@@ -264,12 +280,17 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
     deterministic replication (smc.jl:146-152) for low-variance systematic
     resampling. ``mesh``: a ``jax.sharding.Mesh`` with a ``walker`` axis —
     the population is sharded over it and XLA inserts the ICI collectives
-    (SURVEY §2b)."""
+    (SURVEY §2b). ``quantile_impl``: the per-iteration eps quantile —
+    ``'sort'`` (fastest single-chip), ``'bisect'`` (exact order
+    statistics by value bisection: O(1) bytes/chip on a mesh instead of
+    the sort's full-population all-gather), ``'auto'`` = bisect when the
+    population is sharded over >1 device; both are bit-identical on the
+    same cost multiset."""
     r_epstol, min_r_ess = _validate_smc_knobs(
         prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
         mcmc_tol=mcmc_tol, r_epstol=r_epstol, min_r_ess=min_r_ess,
         max_stretch=max_stretch, resample=resample,
-        partner_scheme=partner_scheme)
+        partner_scheme=partner_scheme, quantile_impl=quantile_impl)
     del parallel
 
     from ..parallel.mesh import constrainer
@@ -280,7 +301,8 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         r_epstol=r_epstol, min_r_ess=min_r_ess, max_stretch=max_stretch,
         max_iters=max_iters, resample=resample, verbose=verbose,
         constrain=constrainer(mesh, "walker"), mesh=mesh,
-        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
+        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme,
+        quantile_impl=quantile_impl)
     pushed, xs, lps, alive, eps, logz, it, done = \
         jax.jit(program)(as_key(key))
 
@@ -315,7 +337,8 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
                 max_stretch: float = 2.0, max_iters: int = 10_000,
                 resample: str = "replicate", checkpoint_every: int = 10,
                 cost_vectorized: bool = False, mesh=None,
-                partner_scheme: str = "auto", key=0) -> SMCResult:
+                partner_scheme: str = "auto", quantile_impl: str = "auto",
+                key=0) -> SMCResult:
     """Host-stepped smc: the same algorithm as ``smc`` but with the outer
     adaptive loop driven from the host, enabling (a) per-iteration
     structured logging via ``log`` (an ``utils.logging.IterLog``) and
@@ -335,7 +358,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
         mcmc_tol=mcmc_tol, r_epstol=r_epstol, min_r_ess=min_r_ess,
         max_stretch=max_stretch, resample=resample,
-        partner_scheme=partner_scheme)
+        partner_scheme=partner_scheme, quantile_impl=quantile_impl)
 
     from ..parallel.mesh import constrainer
     program = _smc_program(
@@ -345,7 +368,8 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         min_r_ess=min_r_ess, max_stretch=max_stretch, max_iters=max_iters,
         resample=resample, verbose=False,
         constrain=constrainer(mesh, "walker"), mesh=mesh,
-        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme)
+        cost_vectorized=cost_vectorized, partner_scheme=partner_scheme,
+        quantile_impl=quantile_impl)
 
     init_state = jax.jit(program.init_state)
     body = jax.jit(program.body)

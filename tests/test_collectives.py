@@ -323,3 +323,51 @@ def test_ais_sweep_collectives_documented(ndev):
     # here would mean GSPMD started moving the population repeatedly
     total = sum(b for _, b in ops)
     assert total <= 24 * ensemble_bytes, (total, ops)
+
+
+# --------------------------------------------------------------------------
+# eps-quantile: the multi-host caveat, closed by quantile_impl="bisect"
+# --------------------------------------------------------------------------
+
+def test_quantile_impl_collective_structure():
+    """The design-note caveat made code: the sort-based eps quantile on
+    a walker-sharded population lowers to a full-population all-gather
+    per iteration (pinned here as the negative control), while the
+    value-bisection variant moves only SCALAR all-reduces — O(1)
+    bytes/chip, the multi-host-scalable form smc's
+    ``quantile_impl='auto'`` picks on a mesh."""
+    from kissabc_tpu.ops.quantile import (masked_quantile,
+                                          masked_quantile_bisect)
+
+    _require_devices(8)
+    mesh = make_mesh(walker=8)
+    n = 1024
+    con = constrainer(mesh, "walker")
+
+    def lower(qfn):
+        def f(x, mask):
+            return qfn(con(x), con(mask), 0.95)
+        x = jnp.ones((n,), jnp.float32)
+        mask = jnp.ones((n,), bool)
+        return jax.jit(f).trace(x, mask).lower().compile().as_text()
+
+    # negative control: sort gathers the population
+    ops_sort = _collective_ops(lower(masked_quantile))
+    ag = [b for k, b in ops_sort if k == "all-gather"]
+    assert ag and max(ag) >= n * 4, (
+        f"expected the sort quantile to all-gather ~[n] bytes: {ops_sort}")
+
+    # bisect: no all-gather; every collective is a scalar-ish all-reduce
+    ops_bis = _collective_ops(lower(masked_quantile_bisect))
+    kinds = {k for k, _ in ops_bis}
+    assert "all-gather" not in kinds and "all-to-all" not in kinds, ops_bis
+    assert all(b <= 64 for _, b in ops_bis), (
+        f"bisect quantile moved a non-scalar collective: {ops_bis}")
+
+    # and the results are bit-identical on a non-trivial multiset
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=n), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.7)
+    a = float(masked_quantile(x, mask, 0.95))
+    b = float(masked_quantile_bisect(x, mask, 0.95))
+    assert a == b

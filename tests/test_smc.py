@@ -177,3 +177,29 @@ def test_smc_evidence_ranks_models():
     assert rb.eps > 0.5   # the bad one stalls far above it
     # and even at its far-looser eps, B's acceptance mass is much lower
     assert ra.log_evidence > rb.log_evidence + 2.0
+
+
+def test_smc_quantile_impl_bitwise_and_validation():
+    """quantile_impl='bisect' must reproduce the sort path BITWISE end
+    to end (the order statistics are exact, test_ops.py) — this is what
+    lets 'auto' switch impls on a mesh without breaking the
+    sharded-vs-unsharded determinism contract."""
+    import numpy as np
+    import pytest
+
+    prior = ka.Factored(ka.Uniform(1, 3), ka.TruncatedNormal(0, 0.05, 0, 100))
+
+    def cost(theta, key):
+        mu, sigma = theta
+        x = mu + sigma * jax.random.normal(key, (100,))
+        return jnp.hypot(jnp.mean(x) - 2.0, (jnp.std(x) - 0.04) * 50)
+
+    kw = dict(nparticles=200, epstol=0.1, key=11)
+    a = ka.smc(prior, cost, quantile_impl="sort", **kw)
+    b = ka.smc(prior, cost, quantile_impl="bisect", **kw)
+    assert a.iterations == b.iterations and a.eps == b.eps
+    np.testing.assert_array_equal(a.C, b.C)
+    for pa, pb in zip(a.P, b.P):
+        np.testing.assert_array_equal(pa.particles, pb.particles)
+    with pytest.raises(ValueError, match="quantile_impl"):
+        ka.smc(prior, cost, quantile_impl="median-of-medians", **kw)
