@@ -1000,6 +1000,15 @@ def _save_rows(results):
         json.dump(rows, f, indent=1, sort_keys=True)
         f.write("\n")
     log(f"row evidence merged into {path} ({len(results)} rows this run)")
+    # keep docs/benchmarks.md consistent with the refreshed evidence so
+    # a driver-committed bench run can't leave the doc-drift guard
+    # (tests/test_bench_docs.py) red for the next session
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import gen_benchmarks_md
+        gen_benchmarks_md.main()
+    except Exception as e:  # missing rows on a truncated first-ever run
+        log(f"benchmarks.md NOT regenerated: {e!r}")
 
 
 _printed_headline = [0.0]
