@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.moves import masked_distinct
-from ..ops.quantile import quantile
+from ..ops.quantile import masked_quantile_bisect, quantile
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
 from ..utils.hostfetch import fetch, fetch_tree
@@ -88,11 +88,15 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             proposal_width: float = 0.75, inner_retry: int = 200,
             verbose: bool = False, parallel: bool = True,
             cost_vectorized: bool = False, mesh=None,
-            cost_on: str = "raw", key=0) -> PFilterResult:
+            cost_on: str = "raw", quantile_impl: str = "auto",
+            key=0) -> PFilterResult:
     """Signature/defaults mirror the reference (smc.jl:275). ``inner_retry``
     bounds the per-sweep rejection rounds (the reference's loop is
     unbounded). ``cost_vectorized``: cost takes (theta_batch, key).
     ``mesh``: shard the population over a mesh ``walker`` axis.
+    ``quantile_impl``: the per-iteration eps quantile, as in ``smc`` —
+    'sort' | 'bisect' | 'auto' (auto = the O(1)-bytes/chip bisection
+    when the population is sharded over >1 device; bit-identical).
 
     ``cost_on``: ``'raw'`` (default) evaluates the cost on the RAW float
     particle — exactly the reference, which calls ``cost(sample[i].x)`` /
@@ -105,6 +109,18 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
     del parallel
     if cost_on not in ("raw", "pushed"):
         raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
+    if quantile_impl not in ("auto", "sort", "bisect"):
+        raise ValueError(
+            "quantile_impl must be 'auto', 'sort' or 'bisect', "
+            f"got {quantile_impl!r}")
+    if quantile_impl == "auto":
+        quantile_impl = ("bisect" if mesh is not None
+                         and getattr(mesh, "size", 1) > 1 else "sort")
+    if quantile_impl == "sort":
+        qfn = quantile
+    else:
+        def qfn(x, qq):
+            return masked_quantile_bisect(x, jnp.ones(x.shape, bool), qq)
     push_cost = cost_on == "pushed"
     d = prior.nparams
     low_n = 4 * d
@@ -159,7 +175,7 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
         key, thetas, lps, cs, it, _eff, _eps, _unfixed, done = state
         key, ksweep = jax.random.split(key)
         it = it + 1
-        eps = quantile(cs, q)
+        eps = qfn(cs, q)
         bad = cs > eps
         good = ~bad
         order = jnp.argsort(bad, stable=True)  # good-first positions

@@ -130,3 +130,19 @@ def test_pfilter_unfixed_surfaced():
     res_ok = ka.pfilter(pri, lambda x: jnp.abs(x - 0.5), 40,
                         epstol=0.2, key=0)
     assert res_ok.unfixed == 0
+
+
+def test_pfilter_quantile_impl_bitwise():
+    """quantile_impl='bisect' reproduces the sort path bitwise (as in
+    smc): lets 'auto' switch to the O(1)-bytes quantile on a mesh
+    without breaking determinism."""
+    pri = ka.Uniform(-10, 10)
+    a = ka.pfilter(pri, _mixture_cost, 200, verbose=False, key=4,
+                   quantile_impl="sort")
+    b = ka.pfilter(pri, _mixture_cost, 200, verbose=False, key=4,
+                   quantile_impl="bisect")
+    assert a.eps == b.eps and a.iterations == b.iterations
+    np.testing.assert_array_equal(a.C.particles, b.C.particles)
+    import pytest
+    with pytest.raises(ValueError, match="quantile_impl"):
+        ka.pfilter(pri, _mixture_cost, 200, quantile_impl="nope")
