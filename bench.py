@@ -29,7 +29,7 @@ transiently):
     2-7 min were observed even when a previous child had JUST
     completed device ops (cross-process warmth is unreliable on this
     tunnel), so subprocess-per-row burned minutes per row; a single
-    child pays the attach once and runs all 13 rows in ~150s warm.
+    child pays the attach once and runs all 18 rows in one pass.
   * A `warmup` row runs first (420s stall allowance) to absorb the
     attach stall AND pre-compile one small Pallas program so a cold
     Mosaic compile-server's first-build minutes land there too.
@@ -706,6 +706,7 @@ def row_pallas_tests():
     env["KISSABC_TESTS_ON_TPU"] = "1"
     cmd = [sys.executable, "-m", "pytest", "tests", "-m", "tpu_hw", "-v",
            "-p", "no:cacheprovider", "--no-header"]
+    import re
     p = subprocess.Popen(cmd, cwd=REPO, env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
     passed = failed = 0
@@ -713,10 +714,18 @@ def row_pallas_tests():
         line = line.rstrip()
         if line:
             log(f"  [pallas-tests] {line}")
-        if " PASSED" in line:
-            passed += 1
-        elif " FAILED" in line or " ERROR" in line:
-            failed += 1
+        # counts come from pytest's final summary line ("== N passed,
+        # M failed in Xs =="): per-test -v lines double-count failures
+        # (progress line + short-summary line both contain FAILED)
+        m = re.search(r"=+ (.+) in [\d.]+s", line)
+        if m:
+            body = m.group(1)
+            pm = re.search(r"(\d+) passed", body)
+            fm = re.search(r"(\d+) failed", body)
+            em = re.search(r"(\d+) error", body)
+            passed = int(pm.group(1)) if pm else 0
+            failed = ((int(fm.group(1)) if fm else 0)
+                      + (int(em.group(1)) if em else 0))
     rc = p.wait()
     return {"exit_code": rc, "passed": passed, "failed": failed,
             "ok": rc == 0 and passed > 0 and failed == 0}
@@ -1045,7 +1054,7 @@ def main():
     # attach stalls of 2-7 min were observed even when a PREVIOUS child
     # had just completed device ops (cross-process warmth is not
     # reliable), so subprocess-per-row burned minutes per row while a
-    # single child paid the attach once and ran all 13 rows in ~150s.
+    # single child paid the attach once and ran the rows in one pass.
     # The streaming watchdog still kills+restarts on a per-row stall
     # (salvaging the remainder, absorber-first), so one wedged row
     # costs its stall window, not the tail. Order = information

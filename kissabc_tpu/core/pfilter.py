@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.moves import masked_distinct
-from ..ops.quantile import masked_quantile_bisect, quantile
+from ..ops.quantile import (masked_quantile_bisect, quantile,
+                            resolve_quantile_impl)
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
 from ..utils.hostfetch import fetch, fetch_tree
@@ -109,14 +110,7 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
     del parallel
     if cost_on not in ("raw", "pushed"):
         raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
-    if quantile_impl not in ("auto", "sort", "bisect"):
-        raise ValueError(
-            "quantile_impl must be 'auto', 'sort' or 'bisect', "
-            f"got {quantile_impl!r}")
-    if quantile_impl == "auto":
-        quantile_impl = ("bisect" if mesh is not None
-                         and getattr(mesh, "size", 1) > 1 else "sort")
-    if quantile_impl == "sort":
+    if resolve_quantile_impl(quantile_impl, mesh) == "sort":
         qfn = quantile
     else:
         def qfn(x, qq):

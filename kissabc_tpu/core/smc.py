@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.moves import gaussian_diff_propose
-from ..ops.quantile import masked_quantile, masked_quantile_bisect
+from ..ops.quantile import (masked_quantile,
+                            masked_quantile_bisect,
+                            resolve_quantile_impl)
 from ..ops.resampling import replicate_alive, systematic
 from ..ops.tree import tfloat, tgather, tselect, tree_map
 from ..particles import particles_from_tree
@@ -99,10 +101,8 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     # bisect when the population is sharded. The two are bit-identical
     # on the same multiset (test_ops.py), so the sharded-vs-unsharded
     # bitwise determinism contract survives the switch.
-    if quantile_impl == "auto":
-        quantile_impl = ("bisect" if mesh is not None
-                         and getattr(mesh, "size", 1) > 1 else "sort")
-    qfn = (masked_quantile if quantile_impl == "sort"
+    qfn = (masked_quantile
+           if resolve_quantile_impl(quantile_impl, mesh) == "sort"
            else masked_quantile_bisect)
 
     vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
@@ -255,10 +255,7 @@ def _validate_smc_knobs(prior, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
         raise ValueError(
             "partner_scheme must be 'auto', 'roll' or 'gather', "
             f"got {partner_scheme!r}")
-    if quantile_impl not in ("auto", "sort", "bisect"):
-        raise ValueError(
-            "quantile_impl must be 'auto', 'sort' or 'bisect', "
-            f"got {quantile_impl!r}")
+    resolve_quantile_impl(quantile_impl, None)  # validate the string
     min_np = math.ceil(3 * prior.nparams / min(alpha, min_r_ess))
     if nparticles < min_np:
         raise ValueError(f"nparticles must be >= {min_np}.")

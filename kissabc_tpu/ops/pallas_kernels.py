@@ -1492,12 +1492,19 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
         # bigger slabs amortize the per-step PRNG/pipeline overhead
         # (measured on v5e: 45 -> 92 -> 104 Gsteps/s at 8/32/64), but it
         # must divide the rows and stay a multiple of 8
-        sr = min(sub_rows, sb_rows // 128)
-        while (sb_rows // 128) % sr or sr % 8:
+        rows = sb_rows // 128
+        if rows % 8:
+            # no multiple-of-8 slab height can divide the rows; the old
+            # clamp loop spun forever here instead of raising
+            raise ValueError(
+                f"walker_tiles*block = {sb_rows} gives {rows} view-rows "
+                "per program, which is not a multiple of 8 (f32 sublane "
+                "tile) — pick walker_tiles*block % 1024 == 0")
+        sr = min(sub_rows, rows)
+        while rows % sr or sr % 8:  # terminates: sr=8 always divides
             sr -= 8
-        sr = max(sr, 8)
         slab = (sr, 128)
-        nslabs = (sb_rows // 128) // sr
+        nslabs = rows // sr
 
         def kernel(seed_ref, *refs):
             th_refs = refs[:len(leaves)]
@@ -1563,7 +1570,11 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
                                             (x0, sums0))
                 if nsteps % 2:  # odd tail: first half of one more pair
                     ea, _eb = gen_pair(ws, nfull)
-                    x, sums = one_step(x, sums, ea, nsteps - 1)
+                    # jnp.int32, not a Python int: step/observe are
+                    # documented to receive a traced int32 (users call
+                    # t.astype), and loop iterations pass traced 2*j
+                    x, sums = one_step(x, sums, ea,
+                                       jnp.int32(nsteps - 1))
                 for p in range(nstats):
                     out_refs[p][rows, :] = sums[p] * inv_n
                 return 0
@@ -1596,15 +1607,21 @@ def make_streaming_scan_cost(step, init, reduce_cost, *, nsteps: int,
         return tuple(o.reshape(npad)[:n] for o in outs)
 
     def _nstats_probe(treedef, nleaves):
-        """Observation arity, discovered by tracing observe once on
-        abstract scalars (host-side, no device work)."""
-        th = jax.tree_util.tree_unflatten(
-            treedef, [jnp.float32(0.0)] * nleaves)
-        x0 = init(th)
-        obs = (jax.tree_util.tree_unflatten(
-            s_def, [jnp.float32(0.0)] * len(s_leaves))
-            if s_def is not None else None)
-        vals = observe(th, x0, jnp.int32(0), obs)
+        """Observation arity via ``jax.eval_shape`` — genuinely abstract
+        (no concrete device values: ``batched`` may itself be called
+        inside a sampler's jitted trace, where an eager scalar op risks
+        the documented multi-minute tunnel-readback lowering stall)."""
+        def probe(zs, t, ss):
+            th = jax.tree_util.tree_unflatten(treedef, list(zs))
+            x0 = init(th)
+            obs = (jax.tree_util.tree_unflatten(s_def, list(ss))
+                   if s_def is not None else None)
+            return observe(th, x0, t, obs)
+
+        f32 = jax.ShapeDtypeStruct((), jnp.float32)
+        i32 = jax.ShapeDtypeStruct((), jnp.int32)
+        vals = jax.eval_shape(probe, (f32,) * nleaves, i32,
+                              (f32,) * len(s_leaves))
         if not isinstance(vals, tuple) or not 1 <= len(vals) <= 16:
             raise ValueError(
                 "observe must return a tuple of 1..16 values, got "

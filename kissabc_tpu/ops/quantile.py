@@ -102,3 +102,22 @@ def ess_weights(w):
     intent (dead code at smc.jl:11-13), used by the sharded SMC variant."""
     s = jnp.sum(w)
     return s * s / jnp.sum(w * w)
+
+
+def resolve_quantile_impl(impl, mesh):
+    """Shared smc/pfilter resolution of the ``quantile_impl`` knob.
+
+    'sort' is fastest on a single chip (one fused parallel kernel);
+    'bisect' is the O(1)-bytes/chip form whose collectives are scalar
+    all-reduces — 'auto' picks it whenever the population is sharded
+    over more than one device. Results are bit-identical either way
+    (exact order statistics; tests/test_ops.py), so the choice never
+    affects the determinism contract."""
+    if impl not in ("auto", "sort", "bisect"):
+        raise ValueError(
+            f"quantile_impl must be 'auto', 'sort' or 'bisect', "
+            f"got {impl!r}")
+    if impl == "auto":
+        impl = ("bisect" if mesh is not None
+                and getattr(mesh, "size", 1) > 1 else "sort")
+    return impl

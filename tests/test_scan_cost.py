@@ -261,3 +261,33 @@ def test_scan_cost_on_mesh():
                  cost_vectorized=True, epstol=0.5, max_iters=50, key=3)
     assert res.C.shape[0] == 64
     assert float(res.eps) <= 0.5 or res.iterations >= 50
+
+
+def test_odd_nsteps_tail_passes_traced_t():
+    """Regression (r4 review): the odd-nsteps tail step used to pass a
+    raw Python int as t, so step/observe using the documented
+    t.astype(...) crashed on the kernel path while passing on the
+    threefry fallback."""
+    def step(th, x, eps, t):
+        return x + th[0] * (t.astype(jnp.float32) + 1.0) * 0.0 + eps
+
+    cost = make_streaming_scan_cost(
+        step, _ar1_init,
+        lambda th, m: m[0],
+        observe=lambda th, x, t, obs: (x * (t.astype(jnp.float32) + 1.0),),
+        nsteps=5, block=128, walker_tiles=8, sub_rows=8, bits="stub",
+        interpret=True)
+    out = np.asarray(cost((jnp.ones((1024,)), jnp.ones((1024,))),
+                          jax.random.key(0)))
+    assert np.isfinite(out).all()
+
+
+def test_unalignable_row_count_raises_not_hangs():
+    """Regression (r4 review): a per-program row count that is not a
+    multiple of 8 made the sub_rows clamp loop spin forever; it must
+    raise instead."""
+    cost = make_streaming_scan_cost(
+        _ar1_step, _ar1_init, lambda th, m: m[0], nsteps=4,
+        block=128, walker_tiles=1, interpret=True, bits="stub")
+    with pytest.raises(ValueError, match="view-rows"):
+        cost((jnp.ones((128,)), jnp.ones((128,))), jax.random.key(0))
