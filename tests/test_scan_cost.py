@@ -291,3 +291,36 @@ def test_unalignable_row_count_raises_not_hangs():
         block=128, walker_tiles=1, interpret=True, bits="stub")
     with pytest.raises(ValueError, match="view-rows"):
         cost((jnp.ones((128,)), jnp.ones((128,))), jax.random.key(0))
+
+
+def test_uniform_noise_fallback_statistics():
+    """noise='uniform': AR(1) driven by centered scaled uniforms has the
+    same stationary moments (fallback path; the kernel path shares the
+    bit->uniform pipeline already golden-tested for 'normal')."""
+    SQ12 = np.float32(np.sqrt(12.0))
+
+    def step(th, x, eps, t):
+        mu, s = th
+        return (1.0 - A) * x + A * mu + s * (eps - 0.5) * SQ12
+
+    n, nsteps = 4096, 512
+    c1 = make_streaming_scan_cost(step, _ar1_init, lambda th, m: m[0],
+                                  nsteps=nsteps, noise="uniform")
+    c2 = make_streaming_scan_cost(step, _ar1_init, lambda th, m: m[1],
+                                  nsteps=nsteps, noise="uniform")
+    mu = jnp.full((n,), 1.0)
+    s = jnp.full((n,), 1.0)
+    m1 = np.asarray(c1((mu, s), jax.random.key(8)))
+    m2 = np.asarray(c2((mu, s), jax.random.key(8)))
+    var = m2 - m1 * m1
+    stat_var = 1.0 / (1.0 - (1.0 - float(A)) ** 2)
+    assert abs(m1.mean() - 1.0) < 0.02
+    assert abs(var.mean() - stat_var) / stat_var < 0.1
+    # interpret-mode uniform pipeline executes and stays in [0,1) ->
+    # bounded increments (smoke for the kernel body's uniform branch)
+    ci = make_streaming_scan_cost(step, _ar1_init, lambda th, m: m[0],
+                                  nsteps=8, noise="uniform", block=128,
+                                  walker_tiles=8, sub_rows=8,
+                                  bits="stub", interpret=True)
+    out = np.asarray(ci((mu[:1024], s[:1024]), jax.random.key(0)))
+    assert np.isfinite(out).all()
