@@ -21,6 +21,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .tree import sample_distinct, tmap, tree_map
 
@@ -161,10 +162,22 @@ def _partners(keys, comp, h, hc, k, scheme):
         """k mutually-distinct uniform draws over [0, hc): draw the j-th
         from [0, hc-j) and bump past the previous draws in ascending
         order (the sorted-exclude arithmetic of sample_distinct)."""
+        if shape == ():
+            # roll scheme: ONE threefry call for all k scalar shifts —
+            # k separate randint+split ops were pure per-op scheduling
+            # overhead around the sweep kernels (profiled r4: batching
+            # the scalar draws took the fused AIS row 121.6->136.9M
+            # updates/s); modulo draws match randint's bias class
+            v = jax.random.bits(keys[0], (k,), jnp.uint32)
+            raw = [(v[j] % np.uint32(hc - j)).astype(jnp.int32)
+                   for j in range(k)]
+        else:
+            raw = [jax.random.randint(keys[j], shape, 0, hc - j,
+                                      dtype=jnp.int32)
+                   for j in range(k)]
         draws = []
         for j in range(k):
-            u = jax.random.randint(keys[j], shape, 0, hc - j,
-                                   dtype=jnp.int32)
+            u = raw[j]
             if draws:
                 ex = jnp.sort(jnp.stack(draws, axis=0), axis=0)
                 for i in range(len(draws)):
@@ -178,7 +191,6 @@ def _partners(keys, comp, h, hc, k, scheme):
             for r in draw_distinct(())
         ]
     if scheme == "roll":  # odd-split edge: wrap positions explicitly
-        import numpy as np
         pos = np.arange(h, dtype=np.int32)
         return [
             tree_map(lambda x: x[(pos + r) % hc], comp)
@@ -304,7 +316,6 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto",
     GSPMD's full-population all-gather lowering of dynamic ``jnp.roll``
     — bit-identical output, O(n/ndev) bytes/chip instead of O(n).
     """
-    import numpy as np
     n = jax.tree_util.tree_leaves(ens)[0].shape[0]
     # NOTE: "auto" resolves from n alone, NEVER from the mesh — the
     # sharded-vs-unsharded bitwise determinism contract (test_parallel)
@@ -316,8 +327,10 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto",
     ka, kb, kw = jax.random.split(key, 3)
     w = max_stretch * jax.random.normal(kw, (n,), _f32) / math.sqrt(d)
     if scheme == "roll":
-        r1 = jax.random.randint(ka, (), 1, n, dtype=jnp.int32)
-        r2 = jax.random.randint(kb, (), 1, n - 1, dtype=jnp.int32)
+        # one threefry call for both shifts (see _partners note)
+        v = jax.random.bits(ka, (2,), jnp.uint32)
+        r1 = (v[0] % np.uint32(n - 1)).astype(jnp.int32) + 1
+        r2 = (v[1] % np.uint32(n - 2)).astype(jnp.int32) + 1
         r2 = r2 + (r2 >= r1)
         if mesh is not None:
             from ..parallel.mesh import roll_walkers

@@ -473,13 +473,16 @@ def make_fused_flagship_sweep(n, *, ndraws: int = 1000,
 
     def step(key, thetas, xs, lps, eps):
         mu, sg = thetas
-        kr1, kr2, ks = jax.random.split(key, 3)
-        r1 = jax.random.randint(kr1, (), 1, n, dtype=jnp.int32)
-        r2 = jax.random.randint(kr2, (), 1, n - 1, dtype=jnp.int32)
+        # one threefry call for both rotation shifts + the kernel seed
+        # (scalar-op glue around the kernel is pure scheduling overhead;
+        # modulo draws match randint's own negligible-bias class)
+        words = jax.random.bits(key, (3,), jnp.uint32)
+        r1 = (words[0] % np.uint32(n - 1)).astype(jnp.int32) + 1
+        r2 = (words[1] % np.uint32(n - 2)).astype(jnp.int32) + 1
         r2 = r2 + (r2 >= r1)
         dmu = jnp.roll(mu, r2) - jnp.roll(mu, r1)
         dsg = jnp.roll(sg, r2) - jnp.roll(sg, r1)
-        seed = jax.random.bits(ks, (), jnp.uint32)
+        seed = words[2]
         omu, osg, oxs, olps, acc = _fused_sweep_call(
             mu, sg, dmu, dsg, xs, lps, eps, seed, n=n, ndraws=ndraws,
             block=block, chunk=chunk, interpret=interpret, bits=bits,
@@ -734,15 +737,20 @@ def make_fused_flagship_ais_sweep(n, *, scale: float = 0.005,
         raise ValueError("need at least 6 walkers for the fused AIS sweep")
 
     def rolls(key, comp_mu, comp_sg):
-        ks = jax.random.split(key, 6)
-        s1 = jax.random.randint(ks[0], (), 0, h, dtype=jnp.int32)
-        d1 = jax.random.randint(ks[1], (), 0, h, dtype=jnp.int32)
-        d2 = jax.random.randint(ks[2], (), 0, h - 1, dtype=jnp.int32)
+        # ONE threefry call for the six partner shifts (the randint+
+        # split chain was ~20 tiny XLA ops of scheduling overhead per
+        # half); modulo draws carry the same negligible-bias class as
+        # jax.random.randint itself (exact when the range is a power of
+        # two, e.g. the flagship's h=65536)
+        v = jax.random.bits(key, (6,), jnp.uint32)
+        s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
+        d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
+        d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
         d2 = d2 + (d2 >= d1)
-        w1 = jax.random.randint(ks[3], (), 0, h, dtype=jnp.int32)
-        w2 = jax.random.randint(ks[4], (), 0, h - 1, dtype=jnp.int32)
+        w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
+        w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
         w2 = w2 + (w2 >= w1)
-        w3 = jax.random.randint(ks[5], (), 0, h - 2, dtype=jnp.int32)
+        w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
         lo = jnp.minimum(w1, w2)
         hi = jnp.maximum(w1, w2)
         w3 = w3 + (w3 >= lo)
@@ -1033,30 +1041,42 @@ def make_fused_flagship_ais_sweep_onekernel(
     a single kernel and in-kernel ``pltpu.roll`` partner rotation
     (no XLA work per sweep beyond the 12 partner-shift draws).
 
-    Measured (v5e, n=131072, 500-sweep scan): 125.1M walker-updates/s at
-    block=1024 (123.7M @ 4096, 121.0 @ 8192) vs the kernel-per-half
-    form's 122.2M — the one-kernel form removes the ~150 us/sweep
-    inter-kernel gap but pays most of it back INSIDE the kernel
-    (non-grid-pipelined walker-block loop, 96 in-kernel rolls, whole-
-    half random prologue), netting ~+2.4%. The simulator-bound ceiling
-    is ~144M (131M normals/sweep at the 144.4 Gnormals/s generator
-    roofline); both fused forms sit within ~15% of it."""
+    Measured (v5e, n=131072, 500-sweep scan): 141.5M walker-updates/s
+    at block=1024 vs the kernel-per-half form's 136.9M, both with the
+    one-threefry-call scalar-draw derivation (see below). Profiling
+    history: the first one-kernel build measured only 125.1M against a
+    kernel-only floor of 864 us/sweep (151.7M) — the xplane trace
+    showed the gap was NOT kernel-boundary copies but ~40 tiny scalar
+    threefry ops (12 randint + split chains) each paying ~1 us of
+    per-op scheduling overhead per sweep; deriving ALL per-sweep scalar
+    randomness from ONE ``jax.random.bits(key, (13,))`` call recovered
+    it (125.1 -> 141.5M here, 121.6 -> 136.9M for the kernel-per-half
+    form, and the same trick lifted the fused smc headline to 142.5M =
+    ~99% of the 144.2 Gnormals/s roofline). In-kernel dynamic rolls are
+    effectively free: 864 us/sweep in-kernel vs the two half-kernels'
+    869 us combined."""
     if n % 2 or (n // 2) % block or n % 256:
         raise ValueError(
             f"one-kernel AIS sweep needs n even, n % 256 == 0 and "
             f"n/2 % block == 0; got n={n}, block={block}")
     h = n // 2
 
-    def half_shifts(key):
-        ks = jax.random.split(key, 6)
-        s1 = jax.random.randint(ks[0], (), 0, h, dtype=jnp.int32)
-        d1 = jax.random.randint(ks[1], (), 0, h, dtype=jnp.int32)
-        d2 = jax.random.randint(ks[2], (), 0, h - 1, dtype=jnp.int32)
+    def half_shifts(v):
+        """Partner shifts for one half from six raw uint32 words —
+        same distinctness structure as the rotation scheme in
+        ops/moves.py (stretch s1; DE d1 != d2; walk w1, w2, w3 all
+        distinct). Modulo draws carry the same negligible-bias class
+        as jax.random.randint itself (exact when the range is a power
+        of two, e.g. the flagship's h = 65536)."""
+        v = v.astype(jnp.uint32)
+        s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
+        d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
+        d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
         d2 = d2 + (d2 >= d1)
-        w1 = jax.random.randint(ks[3], (), 0, h, dtype=jnp.int32)
-        w2 = jax.random.randint(ks[4], (), 0, h - 1, dtype=jnp.int32)
+        w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
+        w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
         w2 = w2 + (w2 >= w1)
-        w3 = jax.random.randint(ks[5], (), 0, h - 2, dtype=jnp.int32)
+        w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
         lo = jnp.minimum(w1, w2)
         hi = jnp.maximum(w1, w2)
         w3 = w3 + (w3 >= lo)
@@ -1066,9 +1086,15 @@ def make_fused_flagship_ais_sweep_onekernel(
     def sweep(key, thetas, lds):
         mu, sg = thetas
         lp, ll = lds
-        k1, k2, ks = jax.random.split(key, 3)
-        shifts = jnp.concatenate([half_shifts(k1), half_shifts(k2)])
-        seed = jax.random.bits(ks, (), jnp.uint32)
+        # ONE threefry call for all per-sweep scalar randomness: the
+        # previous 12x randint + split chain was ~40 tiny XLA ops whose
+        # per-op scheduling overhead was most of the remaining
+        # inter-kernel glue (profiled: while-loop 997us/sweep vs
+        # 864us/sweep in-kernel with ~133us of glue)
+        words = jax.random.bits(key, (13,), jnp.uint32)
+        shifts = jnp.concatenate([half_shifts(words[0:6]),
+                                  half_shifts(words[6:12])])
+        seed = words[12]
         omu, osg, olp, oll = _fused_ais_full_call(
             mu, sg, lp, ll, shifts, seed, n=n, ndraws=ndraws, block=block,
             chunk=chunk, interpret=interpret, bits=bits, scale=scale,
