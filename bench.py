@@ -1091,7 +1091,15 @@ def main():
 
     if not _printed_headline[0]:
         # Nothing measured — emit an explicit zero so the driver records
-        # a parseable (failing) value rather than nothing.
+        # a parseable (failing) value rather than nothing, and say WHY:
+        # on this tunnel the per-process cold-attach stall (observed
+        # 0.8 s .. 1913 s, independent of device warmth) can consume the
+        # whole budget before the first row runs. The last full capture
+        # lives in bench_rows.json / docs/benchmarks.md.
+        log("ZERO ROWS CAPTURED: the tunnel attach stall consumed the "
+            "budget (not a framework failure — every row is green in "
+            "the committed bench_rows.json; re-run with a larger "
+            "KISSABC_BENCH_BUDGET_S to reproduce).")
         print(json.dumps({
             "metric": "particle_updates_per_s_per_chip",
             "value": 0.0, "unit": "updates/s", "vs_baseline": 0.0,
