@@ -317,6 +317,13 @@ def gaussian_diff_propose(key, ens, d, max_stretch=2.0, scheme="auto",
     — bit-identical output, O(n/ndev) bytes/chip instead of O(n).
     """
     n = jax.tree_util.tree_leaves(ens)[0].shape[0]
+    if n < 3:
+        # two distinct partners != i cannot exist for n < 3; without
+        # this the roll path hits a silent uint32 modulo-by-zero at
+        # n == 2 and the gather path clamps out-of-range indices
+        raise ValueError(
+            f"gaussian_diff_propose needs an ensemble of >= 3 walkers "
+            f"(two distinct partners per walker), got n={n}")
     # NOTE: "auto" resolves from n alone, NEVER from the mesh — the
     # sharded-vs-unsharded bitwise determinism contract (test_parallel)
     # requires identical partner laws across layouts. Small sharded

@@ -819,6 +819,13 @@ def _fused_ais_full_call(mu, sg, lp, ll, shifts, seed, *, n, ndraws,
     if n % 256:
         raise ValueError(f"fused full AIS sweep needs n % 256 == 0, "
                          f"got {n}")
+    if block % (128 if interpret else 1024):
+        # hardware needs rpb % 8 == 0: the per-block ds slices of the
+        # (Rh, 128) scratch refs must align to the (8,128) f32 sublane
+        # tile (mirrors _fused_ais_half_call's guard — ADVICE r4)
+        raise ValueError(
+            f"block must be a multiple of {128 if interpret else 1024}, "
+            f"got {block}")
     h = n // 2
     if h % block:
         raise ValueError(f"half size {h} must be a multiple of "

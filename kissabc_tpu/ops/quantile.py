@@ -37,31 +37,54 @@ def masked_quantile(x, mask, q):
     return out
 
 
-def _kth_smallest(x, mask, k, iters=60):
-    """Exact k-th (0-indexed) order statistic of x[mask] by value
-    bisection — O(iters * n) reductions instead of an O(n log n) sort.
-    60 halvings of a float32 interval reach adjacent representables, so
-    the result equals the sorted value exactly. Infinite entries are
-    handled by rank bookkeeping (bisection runs over finite values)."""
-    big = jnp.float32(3.4e38)
+def _f32_key(x):
+    """Monotone f32 -> uint32 order-preserving key: negatives are
+    bit-complemented, non-negatives get the sign bit set, so unsigned
+    integer order equals IEEE total order (with -0.0 just below +0.0 —
+    equal as floats, so order statistics are unaffected)."""
+    b = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                     jnp.uint32)
+    return jnp.where(b >> 31 == 1, ~b, b | jnp.uint32(0x80000000))
+
+
+def _f32_unkey(u):
+    """Inverse of ``_f32_key``."""
+    b = jnp.where(u >> 31 == 1, u ^ jnp.uint32(0x80000000), ~u)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _kth_smallest(x, mask, k, iters=33):
+    """Exact k-th (0-indexed) order statistic of x[mask] by bisection on
+    the uint32 BIT PATTERN of the floats — O(iters * n) reductions
+    instead of an O(n log n) sort. Integer bisection of a 32-bit key
+    range converges to the exact representable in <= 32 halvings for
+    ANY dynamic range (an arithmetic float midpoint would need
+    ~log2(range/ulp) steps and can stall on e.g. denormal..1e38
+    multisets — ADVICE r4). Infinite entries are handled by rank
+    bookkeeping (bisection runs over finite values)."""
     finite = mask & jnp.isfinite(x)
     n_neg = jnp.sum(mask & (x == -jnp.inf))
     n_fin = jnp.sum(finite)
     kf = k - n_neg  # rank within the finite values
 
-    lo = jnp.minimum(jnp.min(jnp.where(finite, x, big)), big)
-    hi = jnp.maximum(jnp.max(jnp.where(finite, x, -big)), -big)
+    keys = _f32_key(x)
+    kmin = jnp.uint32(0)
+    kmax = jnp.uint32(0xFFFFFFFF)
+    lo = jnp.min(jnp.where(finite, keys, kmax))
+    hi = jnp.max(jnp.where(finite, keys, kmin))
 
     def body(_, c):
         lo, hi = c
-        mid = 0.5 * (lo + hi)
-        count = jnp.sum(finite & (x <= mid))
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        count = jnp.sum(finite & (keys <= mid))
         below = count < kf + 1  # mid is below the target order stat
+        # below: answer in (mid, hi] but mid==lo once hi-lo<=1 — keep
+        # lo=mid (no loss); else: answer in [lo, mid]
         return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
 
     _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     return jnp.where(k < n_neg, -jnp.inf,
-                     jnp.where(kf < n_fin, hi, jnp.inf))
+                     jnp.where(kf < n_fin, _f32_unkey(hi), jnp.inf))
 
 
 def masked_quantile_bisect(x, mask, q):
