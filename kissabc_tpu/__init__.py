@@ -62,8 +62,8 @@ from .core.density import (  # noqa: F401
     ApproxKernelizedPosterior, ApproxPosterior, CommonLogDensity,
 )
 from .core.ais import (  # noqa: F401
-    AIS, MCMCDistributed, MCMCThreads, make_run, make_sweep, sample,
-    sample_raw,
+    AIS, MCMCDistributed, MCMCThreads, make_run, make_sweep,
+    make_sweep_halves, sample, sample_raw,
 )
 from .core.smc import smc, smc_stepped  # noqa: F401
 from .core.tsmc import tsmc  # noqa: F401
@@ -75,8 +75,8 @@ from .utils.logging import IterLog, trace  # noqa: F401
 from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
 from .ops.pallas_kernels import (  # noqa: F401
-    make_streaming_moment_cost, make_streaming_scan_cost,
-    shard_batched_cost,
+    make_fused_ais_sweep, make_streaming_moment_cost,
+    make_streaming_scan_cost, shard_batched_cost,
 )
 
 __version__ = "0.4.0"

@@ -125,30 +125,69 @@ def mixture_one(key, theta_i, comp, hc, d):
     return prop, corr
 
 
-def propose_half(key, half, comp, d, kernel=None, scheme="auto"):
+def propose_half(key, half, comp, d, kernel=None, scheme="auto",
+                 mesh=None, accept_lu=False):
     """Propose for every walker of `half` (leaves [H, ...]) with partners
-    from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H]).
+    from `comp` (leaves [Hc, ...]). Returns (props [H,...], corr [H]) —
+    or, with ``accept_lu=True``, (props, corr, lu) where ``lu`` is a [H]
+    log-uniform accept draw fused into the proposal's batched bits call
+    when the fast path supports it, else ``None`` (caller draws its own).
 
     Default is the fully-batched mixture (one batched draw per random
     quantity instead of per-walker key splits — the splits alone dominate
     a sweep at large H). Pass one of the `*_one` kernels to vmap a
     single-walker kernel instead (used by the kernel unit tests).
     ``scheme`` selects rotation vs gather partner choice (see
-    ``gaussian_diff_propose``).
+    ``gaussian_diff_propose``); ``mesh`` routes the rotation scheme's
+    partner rolls through shard-sized ppermutes (roll_walkers).
     """
     if kernel is None or kernel is mixture_one:
-        return mixture_batched(key, half, comp, d, scheme=scheme)
+        return mixture_batched(key, half, comp, d, scheme=scheme,
+                               mesh=mesh, accept_lu=accept_lu)
     h = jax.tree_util.tree_leaves(half)[0].shape[0]
     hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
     keys = jax.random.split(key, h)
     def one(k, theta_i):
         return kernel(k, theta_i, comp, hc, d)
-    return jax.vmap(one, in_axes=(0, 0))(keys, half)
+    props, corr = jax.vmap(one, in_axes=(0, 0))(keys, half)
+    return (props, corr, None) if accept_lu else (props, corr)
 
 
 def _bshape(w, x):
     """Broadcast a [h] scalar-per-walker against a [h, ...] leaf."""
     return w.reshape(w.shape + (1,) * (x.ndim - 1))
+
+
+# --------------------------------------------------------------------------
+# raw-bits -> variate maps (bit-compatible with the jax.random primitives,
+# so deriving many streams from ONE jax.random.bits call keeps the same
+# marginal laws as the separate uniform/normal/exponential calls they fuse)
+# --------------------------------------------------------------------------
+
+def _bits_to_uniform(bits):
+    """uint32 -> U[0,1) via the mantissa-bitcast map jax.random.uniform
+    uses for float32 (23-bit resolution)."""
+    f = jax.lax.bitcast_convert_type(
+        (bits >> np.uint32(9)) | np.uint32(0x3F800000), jnp.float32)
+    return f - np.float32(1.0)
+
+
+_ERFINV_LO = np.float32(np.nextafter(np.float32(-1.0), np.float32(0.0)))
+
+
+def _bits_to_normal(bits):
+    """uint32 -> N(0,1) via sqrt(2)*erfinv(U(-1,1)) — the same inverse-CDF
+    construction as jax.random.normal (open interval at -1 like jax's
+    nextafter(-1, 0) lower bound, so erfinv never sees -1)."""
+    u01 = _bits_to_uniform(bits)
+    u = u01 * (np.float32(1.0) - _ERFINV_LO) + _ERFINV_LO
+    return np.float32(math.sqrt(2.0)) * jax.lax.erf_inv(u)
+
+
+def _bits_to_log_uniform(bits):
+    """uint32 -> log U (the MH accept draw, == -Exponential): log1p(-u)
+    like -jax.random.exponential; bounded in [log(2^-24), 0]."""
+    return jnp.log1p(-_bits_to_uniform(bits))
 
 
 def _partners(keys, comp, h, hc, k, scheme):
@@ -199,7 +238,108 @@ def _partners(keys, comp, h, hc, k, scheme):
     return [tree_map(lambda x: x[i], comp) for i in draw_distinct((h,))]
 
 
-def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto"):
+def _distinct_shifts(v, hc, ks):
+    """Mutually-distinct rotation shifts from raw uint32 words: for each
+    group size k in ``ks``, consume k words and produce k distinct
+    uniform draws over [0, hc) via the draw-from-[0,hc-j)-and-bump
+    arithmetic of ``sample_distinct`` (same law/bias class as the
+    per-move draws in ``_partners``). Returns a flat list of scalars."""
+    out = []
+    i = 0
+    for k in ks:
+        draws = []
+        for j in range(k):
+            u = (v[i] % np.uint32(hc - j)).astype(jnp.int32)
+            i += 1
+            if draws:
+                ex = jnp.sort(jnp.stack(draws), axis=0)
+                for t in range(len(draws)):
+                    u = u + (u >= ex[t])
+            draws.append(u)
+        out.extend(draws)
+    return out
+
+
+def _mixture_batched_rollfused(key, half, comp, d, a_stretch, mesh,
+                               accept_lu, h):
+    """The rotation-scheme mixture with ALL randomness from two bits
+    calls: one (6,) call for the partner shifts (stretch 1 + DE 2 +
+    walk 3, distinct within each move) and one (R, h) call for every
+    per-walker quantity — move id, stretch z, DE gamma, DE jitter noise
+    (one row per parameter component), the three walk weights, and
+    (optionally) the MH accept log-uniform. The r4 profiles showed each
+    scalar randint/split around a sweep kernel costs ~1 us of per-op
+    scheduling overhead (~1M updates/s of headline at n=131072); the
+    per-walker draws fuse for the same reason (VERDICT r4 next #6:
+    measured +2.6% on the split AIS row). Vector/matrix leaves get one
+    row per trailing component ((cols, h) -> transpose -> [h, ...]).
+    Requires h == hc (the red/black halves case); ``mesh`` routes the 6
+    partner rolls through shard-sized ppermutes (roll_walkers) so the
+    sweep stays O(shard) bytes/chip."""
+    leaves, treedef = jax.tree_util.tree_flatten(half)
+    cols = [int(np.prod(l.shape[1:], dtype=np.int64)) for l in leaves]
+    C = sum(cols)
+    kshift, kvec = jax.random.split(key)
+    shifts = _distinct_shifts(jax.random.bits(kshift, (6,), jnp.uint32),
+                              h, (1, 2, 3))
+
+    R = 6 + C + (1 if accept_lu else 0)
+    w = jax.random.bits(kvec, (R, h), jnp.uint32)
+    mid = (w[0] % np.uint32(7)).astype(jnp.int32)
+    is_s = mid < 4
+    is_d = (mid >= 4) & (mid < 6)
+    z = cdf_g_inv(_bits_to_uniform(w[1]), a_stretch)
+    gamma = 2.38 / math.sqrt(2 * d) * jnp.exp(
+        0.1 * _bits_to_normal(w[2]))
+    nleaves, off = [], 0
+    for l, c in zip(leaves, cols):
+        rows = _bits_to_normal(w[3 + off:3 + off + c])  # (c, h)
+        nleaves.append(rows[0] if l.ndim == 1 else
+                       jnp.moveaxis(rows.reshape(l.shape[1:] + (h,)),
+                                    -1, 0))
+        off += c
+    noise = jax.tree_util.tree_unflatten(treedef, nleaves)
+    r = _bits_to_normal(w[3 + C:6 + C])  # (3, h) walk weights
+    lu = _bits_to_log_uniform(w[6 + C]) if accept_lu else None
+
+    def partner(shift):
+        """comp[(i + shift) % h] — a rotation; ppermutes on a mesh."""
+        if mesh is not None:
+            from ..parallel.mesh import roll_walkers
+            return roll_walkers(comp, -shift, mesh)
+        return tree_map(lambda x: jnp.roll(x, -shift, axis=0), comp)
+
+    s1, d1, d2, w1, w2, w3 = shifts
+    part = partner(s1)
+    p_s = tree_map(
+        lambda pa, pi: pa + _bshape(z, pa) * (pi - pa), part, half)
+    c_s = (d - 1) * jnp.log(z)
+
+    ta, tb = partner(d1), partner(d2)
+    def mk_de(xi, xa, xb, nz):
+        g = _bshape(gamma, xi)
+        tri = jnp.abs(xa - xb) + jnp.abs(xi - xb) + jnp.abs(xa - xi)
+        return xi + g * (xa - xb) + g * tri / 300.0 * nz
+    p_d = tree_map(mk_de, half, ta, tb, noise)
+
+    twa, twb, twc = partner(w1), partner(w2), partner(w3)
+    def mk_walk(xi, xa, xb, xc):
+        cen = (xa + xb + xc) / 3.0
+        return xi + (_bshape(r[0], xi) * (xa - cen)
+                     + _bshape(r[1], xi) * (xb - cen)
+                     + _bshape(r[2], xi) * (xc - cen))
+    p_w = tree_map(mk_walk, half, twa, twb, twc)
+
+    prop = tree_map(
+        lambda a, b, c: jnp.where(_bshape(is_s, a), a,
+                                  jnp.where(_bshape(is_d, a), b, c)),
+        p_s, p_d, p_w)
+    corr = jnp.where(is_s, c_s, 0.0)
+    return prop, corr, lu
+
+
+def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto",
+                    mesh=None, accept_lu=False):
     """Fully-batched 4:2:1 stretch/DE/walk mixture over one half-ensemble.
 
     Statistically identical to vmapping ``mixture_one`` (different RNG
@@ -210,11 +350,23 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto"):
     random rotations of the complementary half (uniform marginally,
     state-independent — the Goodman-Weare/ter Braak validity arguments
     only need partner choice independent of the updated walker's state).
+
+    With ``accept_lu=True`` returns (prop, corr, lu): on the fused
+    rotation path ``lu`` is a [h] log-uniform accept draw folded into
+    the same bits call; elsewhere ``lu`` is None (caller draws its own).
     """
     leaves = jax.tree_util.tree_leaves(half)
     h = leaves[0].shape[0]
     hc = jax.tree_util.tree_leaves(comp)[0].shape[0]
     scheme = _resolve_scheme(scheme, h + hc)
+    if scheme == "roll" and h == hc:
+        # the production red/black fast path: equal halves -> two bits
+        # calls total (see _mixture_batched_rollfused). Unequal halves
+        # (odd n) keep the generic draws below (and gather stays
+        # byte-stable with r4 streams).
+        out = _mixture_batched_rollfused(
+            key, half, comp, d, a_stretch, mesh, accept_lu, h)
+        return out if accept_lu else out[:2]
     (km, ksj, ksz, kda, kdb, kdg, kdt, kwa, kwb, kwc, kwr) = \
         jax.random.split(key, 11)
 
@@ -260,7 +412,7 @@ def mixture_batched(key, half, comp, d, a_stretch=3.0, scheme="auto"):
                                   jnp.where(_bshape(is_d, a), b, c)),
         p_s, p_d, p_w)
     corr = jnp.where(is_s, c_s, 0.0)
-    return prop, corr
+    return (prop, corr, None) if accept_lu else (prop, corr)
 
 
 # --------------------------------------------------------------------------

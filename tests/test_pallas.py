@@ -643,3 +643,167 @@ class TestFusedAISOneKernel:
             a, b = np.asarray(a), np.asarray(b)
             assert abs(a.mean() - b.mean()) < tol, (a.mean(), b.mean())
             assert abs(a.std() / b.std() - 1.0) < 0.25, (a.std(), b.std())
+
+
+class TestFusedAISGeneric:
+    """make_fused_ais_sweep (r5): the bring-your-own-model fused AIS
+    sweep — arbitrary elementwise draw/reduce_cost/prior through the
+    one-kernel-per-half path (VERDICT r4 next #3; previously only the
+    hard-coded flagship reached the fused kernels)."""
+
+    @staticmethod
+    def _model(scale=0.5, ndraws=200):
+        import kissabc_tpu as ka
+
+        prior = ka.Factored(ka.Uniform(1, 3),
+                            ka.TruncatedNormal(0, 0.05, 0, 100))
+
+        def draw(th, eps):
+            mu, sg = th
+            return mu + sg * eps
+
+        def reduce_cost(th, m):
+            var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+            return jnp.sqrt(jnp.square(m[0] - 2.0)
+                            + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+        scost = ka.make_streaming_moment_cost(draw, reduce_cost,
+                                              ndraws=ndraws)
+        model = ka.ApproxKernelizedPosterior(prior, scost, scale,
+                                             cost_vectorized=True)
+        return prior, draw, reduce_cost, model
+
+    @staticmethod
+    def _start(model, n, key=0):
+        key = jax.random.key(key)
+        thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+        lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                                  jax.random.fold_in(key, 1))
+        return key, thetas, lds
+
+    def test_validation(self):
+        import kissabc_tpu as ka
+
+        prior, draw, rc, model = self._model()
+        with pytest.raises(ValueError, match="multiple of 128"):
+            ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5, block=100)
+        with pytest.raises(ValueError, match="nmoments"):
+            ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
+                                    nmoments=0)
+        with pytest.raises(ValueError, match="noise"):
+            ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
+                                    noise="poisson")
+        sweep = ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
+                                        ndraws=100, block=128, chunk=128,
+                                        walker_tiles=2, bits="stub",
+                                        interpret=True)
+        key, thetas, lds = self._start(model, 256)
+        with pytest.raises(ValueError, match="even walker count"):
+            sweep(key, jax.tree_util.tree_map(lambda x: x[:255], thetas),
+                  jax.tree_util.tree_map(lambda x: x[:255], lds))
+        with pytest.raises(ValueError, match="leaves"):
+            sweep(key, (thetas[0],), lds)
+        if not ON_TPU:
+            auto = ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5)
+            with pytest.raises(RuntimeError, match="TPU fast path"):
+                auto(key, thetas, lds)
+
+    def test_interpret_gating_and_determinism(self):
+        """CPU interpret + stub bits: walkers move, committed walkers
+        stay in prior bounds with finite (lp, ll), uncommitted walkers
+        are bitwise untouched; fixed key reproduces bitwise."""
+        import kissabc_tpu as ka
+
+        prior, draw, rc, model = self._model()
+        n = 256
+        sweep = ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
+                                        ndraws=200, block=128, chunk=128,
+                                        walker_tiles=2, bits="stub",
+                                        interpret=True)
+        key, thetas, lds = self._start(model, n)
+
+        @jax.jit
+        def many(k, th, ld):
+            def body(c, kk):
+                th, ld = c
+                return sweep(kk, th, ld), None
+            return jax.lax.scan(body, (th, ld),
+                                jax.random.split(k, 10))[0]
+
+        (omu, osg), (olp, oll) = many(key, thetas, lds)
+        omu, osg, olp, oll = map(np.asarray, (omu, osg, olp, oll))
+        ch = omu != np.asarray(thetas[0])
+        assert ch.sum() > 0
+        assert ((omu[ch] >= 1) & (omu[ch] <= 3)).all()
+        assert ((osg[ch] >= 0) & (osg[ch] <= 100)).all()
+        assert np.isfinite(olp[ch]).all() and np.isfinite(oll[ch]).all()
+        np.testing.assert_array_equal(
+            omu[~ch], np.asarray(thetas[0])[~ch])
+        (omu2, _), _ = many(key, thetas, lds)
+        np.testing.assert_array_equal(omu, np.asarray(omu2))
+
+    @pytest.mark.tpu_hw
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_matches_split_ais_sweep_statistically_gk(self):
+        """A NON-flagship model (4-param g-and-k quantile distribution)
+        through the generic fused kernel vs the production split sweep
+        (make_sweep_halves + make_streaming_moment_cost): same
+        stationary population from the same start (different hw
+        streams; statistical check). The parity anchor for VERDICT r4
+        next #3."""
+        import kissabc_tpu as ka
+        from kissabc_tpu.core.ais import _halves, make_sweep_halves
+
+        prior = ka.Factored(ka.Uniform(0, 6), ka.Uniform(0.1, 3),
+                            ka.Uniform(-1, 5), ka.Uniform(0.0, 0.9))
+
+        def draw(th, eps):
+            a, b, g, k = th
+            return a + b * (1.0 + 0.8 * jnp.tanh(g * eps / 2.0)) * eps \
+                * jnp.exp(k * jnp.log1p(eps * eps))
+
+        rng = np.random.default_rng(0)
+        z = rng.normal(size=100000)
+        xs = 3.0 + 1.0 * (1 + 0.8 * np.tanh(z)) * z * np.exp(
+            0.5 * np.log1p(z * z))
+        t1, t2 = np.float32(xs.mean()), np.float32(xs.std())
+
+        def reduce_cost(th, m):
+            var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+            return jnp.hypot(m[0] - t1, (jnp.sqrt(var) - t2) * 0.3)
+
+        n, sweeps, scale = 4096, 40, 0.05
+        fused = ka.make_fused_ais_sweep(prior, draw, reduce_cost,
+                                        scale=scale)
+        scost = ka.make_streaming_moment_cost(draw, reduce_cost)
+        model = ka.ApproxKernelizedPosterior(prior, scost, scale,
+                                             cost_vectorized=True)
+        split = make_sweep_halves(model, n)
+        key, thetas, lds = self._start(model, n, key=3)
+
+        @jax.jit
+        def many_f(k, th, ld):
+            def body(c, kk):
+                th, ld = c
+                return fused(kk, th, ld), None
+            (th, ld), _ = jax.lax.scan(body, (th, ld),
+                                       jax.random.split(k, sweeps))
+            return th
+
+        @jax.jit
+        def many_s(k, th, ld):
+            def body(c, kk):
+                th, ld = c
+                return split(kk, th, ld), None
+            (th, ld), _ = jax.lax.scan(body, (th, ld),
+                                       jax.random.split(k, sweeps))
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), th[0], th[1])
+
+        tf = many_f(jax.random.fold_in(key, 7), thetas, lds)
+        ts = many_s(jax.random.fold_in(key, 8),
+                    _halves(thetas, n // 2), _halves(lds, n // 2))
+        for i, tol in ((0, 0.1), (1, 0.1), (2, 0.25), (3, 0.05)):
+            a, b = np.asarray(ts[i]), np.asarray(tf[i])
+            assert abs(a.mean() - b.mean()) < tol, (i, a.mean(), b.mean())
+            assert abs(a.std() / b.std() - 1.0) < 0.3, (i, a.std(), b.std())

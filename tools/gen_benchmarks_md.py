@@ -63,6 +63,11 @@ def values(rows):
             "onekernel_updates_per_s", rows["ais-fused"]["updates_per_s"])),
         "ais_fused_halfpair": _m(rows["ais-fused"].get(
             "halfpair_updates_per_s", rows["ais-fused"]["updates_per_s"])),
+        "ais_fused_generic": _m(rows["ais-fused-generic"]["updates_per_s"]),
+        "ais_fused_generic_split": _m(
+            rows["ais-fused-generic"]["split_updates_per_s"]),
+        "ais_fused_generic_flagship": _m(
+            rows["ais-fused-generic"]["flagship_updates_per_s"]),
         "streaming_scan":
             f"{rows['streaming-scan']['gsteps_per_s']:.1f}",
         "streaming_scan_sweep":
