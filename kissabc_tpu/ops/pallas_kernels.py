@@ -1266,10 +1266,22 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
                             + r3 * (wc - cen))
                 pk = jnp.where(is_s, p_s, jnp.where(is_d, p_d, p_w))
                 props.append(pk)
-                prop_refs[k][:] = pk
 
+            # push policy in-kernel (types.jl:27-32): discrete marginals
+            # evolve in float and are rounded at prior/cost evaluation —
+            # the PUSHED tree feeds the prior logpdf and the simulator
+            # (staged through the scratch refs the row loop ds-indexes),
+            # while the COMMITTED walker stays the raw float proposal
+            # (transition.jl:77; the `props` values go to phase 3).
+            # Pushed leaves are re-cast to f32: Mosaic-side int
+            # arithmetic buys nothing here.
             ptree = jax.tree_util.tree_unflatten(treedef, props)
-            lpp = jnp.asarray(prior.logpdf_tree(ptree), jnp.float32)
+            pushed = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32),
+                prior.push_tree(ptree))
+            for k, pl_ in enumerate(jax.tree_util.tree_leaves(pushed)):
+                prop_refs[k][:] = pl_
+            lpp = jnp.asarray(prior.logpdf_tree(pushed), jnp.float32)
             valid = lpp > neg_inf
 
             # ---- phase 2: simulator (walker rows on lanes) -----------
@@ -1361,7 +1373,9 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
             lw = corr + (lpp + llp) - (lp_old + ll_old)
             acc = valid & (jnp.log1p(-u_acc) <= lw)
             for k in range(K):
-                out_refs[k][:] = jnp.where(acc, prop_refs[k][:],
+                # commit the RAW float proposal (props values), not the
+                # pushed one in prop_refs — reference transition.jl:77
+                out_refs[k][:] = jnp.where(acc, props[k],
                                            th_refs[k][:])
             out_refs[K][:] = jnp.where(acc, lpp, lp_old)
             out_refs[K + 1][:] = jnp.where(acc, llp, ll_old)

@@ -38,9 +38,43 @@ def test_evidence_has_all_samplers():
     rows = _rows()
     for name in ("smc-parity", "sweep-fused", "ais-sweep", "ais-wallclock",
                  "tsmc", "pfilter", "abcde", "rejection", "g-and-k",
-                 "pallas-tests"):
+                 "pallas-tests", "pallas-tests-core", "ais-fused-generic"):
         assert name in rows, f"missing bench evidence row: {name}"
     # end-to-end rows carry an explicit posterior/correctness verdict
-    for name in ("tsmc", "pfilter", "abcde", "g-and-k", "pallas-tests"):
+    for name in ("tsmc", "pfilter", "abcde", "g-and-k", "pallas-tests",
+                 "pallas-tests-core"):
         assert rows[name].get("ok") is True, (name, rows[name])
     assert rows["smc-parity"]["parity"] is True
+
+
+def test_history_table_is_provenance_honest():
+    """The headline-history table is rendered FROM the committed
+    BENCH_r*.json driver artifacts (VERDICT r4 weak #2: the old static
+    table said 'driver-captured per round' while the r4 driver capture
+    was 0.0). Assert the generated rows agree with the artifacts: every
+    round with a nonzero parsed value appears with that value, and
+    every failed capture says FAILED — never a builder-side number."""
+    import glob
+    import re
+
+    table = gen_benchmarks_md.history_rows()
+    lines = {re.match(r"\| (r\d+) ", ln).group(1): ln
+             for ln in table.splitlines()}
+    arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert arts, "no BENCH_r*.json driver artifacts found"
+    for path in arts:
+        rnd = "r" + str(int(
+            re.search(r"BENCH_r(\d+)\.json$", path).group(1)))
+        with open(path) as f:
+            art = json.load(f)
+        val = (art.get("parsed") or {}).get("value")
+        assert rnd in lines, f"history table missing {rnd}"
+        if val:
+            want = f"{val / 1e6:.1f}M"
+            assert want in lines[rnd] and "driver-captured" in lines[rnd], (
+                rnd, want, lines[rnd])
+        else:
+            assert "FAILED" in lines[rnd], (rnd, lines[rnd])
+    # and the committed doc embeds exactly this table
+    with open(os.path.join(REPO, "docs", "benchmarks.md")) as f:
+        assert table in f.read()

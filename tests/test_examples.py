@@ -143,3 +143,15 @@ def test_example_expmix_reduced():
                          key=1)
     assert u1p.approx(0.49, atol=0.12), u1p
     assert p1p.approx(0.88, atol=0.12), p1p
+
+
+def test_example_fused_ais(capsys):
+    """The generic-fused-AIS walkthrough recovers the README model off-
+    TPU through its portable split path (the fused kernel is TPU-only
+    and covered by test_pallas.py::TestFusedAISGeneric)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "example_fused_ais.py")
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "OK" in out

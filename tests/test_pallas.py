@@ -807,3 +807,84 @@ class TestFusedAISGeneric:
             a, b = np.asarray(ts[i]), np.asarray(tf[i])
             assert abs(a.mean() - b.mean()) < tol, (i, a.mean(), b.mean())
             assert abs(a.std() / b.std() - 1.0) < 0.3, (i, a.std(), b.std())
+
+    def test_mixed_discrete_prior_interpret(self):
+        """Discrete-marginal story (VERDICT r4 next #8): a mixed
+        Factored(DiscreteUniform, Uniform) prior through the generic
+        fused kernel. The push policy applies IN-KERNEL: the simulator
+        and prior logpdf see the rounded integer marginal (as f32)
+        while the committed walker stays the raw float shadow — the
+        library-wide convention (types.jl:27-32, transition.jl:77)."""
+        import kissabc_tpu as ka
+
+        prior = ka.Factored(ka.DiscreteUniform(1, 10),
+                            ka.Uniform(0.1, 1.0))
+
+        def draw(th, eps):
+            m, s = th          # m arrives PUSHED (integral, f32-cast)
+            return m + s * eps
+
+        def reduce_cost(th, mo):
+            return jnp.abs(mo[0] - 3.0)
+
+        sweep = ka.make_fused_ais_sweep(prior, draw, reduce_cost,
+                                        scale=0.5, ndraws=200,
+                                        block=128, chunk=128,
+                                        walker_tiles=2, bits="stub",
+                                        interpret=True)
+        scost = ka.make_streaming_moment_cost(draw, reduce_cost,
+                                              ndraws=200)
+        model = ka.ApproxKernelizedPosterior(prior, scost, 0.5,
+                                             cost_vectorized=True)
+        key, thetas, lds = self._start(model, 256)
+
+        @jax.jit
+        def many(k, th, ld):
+            def body(c, kk):
+                th, ld = c
+                return sweep(kk, th, ld), None
+            return jax.lax.scan(body, (th, ld),
+                                jax.random.split(k, 15))[0]
+
+        (m_raw, s_raw), (olp, oll) = many(key, thetas, lds)
+        m_raw, s_raw = np.asarray(m_raw), np.asarray(s_raw)
+        ch = m_raw != np.asarray(thetas[0])
+        assert ch.sum() > 0
+        # committed marginals are the raw FLOAT shadows: moved entries
+        # need not be integral, but their rounded values must be in
+        # support with a finite prior
+        pushed = np.rint(m_raw[ch])
+        assert ((pushed >= 1) & (pushed <= 10)).all()
+        assert np.isfinite(np.asarray(olp)[ch]).all()
+        # the population contracts toward the m=3 data
+        assert abs(np.median(pushed) - 3.0) <= 1.0
+
+
+def test_streaming_mixed_prior_smc_end_to_end():
+    """Mixed discrete/continuous prior + streaming cost through full
+    smc (fallback path off-TPU, kernel path on TPU): the pushed integer
+    marginal flows through the kernel contract as an f32 cast and the
+    posterior concentrates on the true integer. What does NOT stream:
+    simulators with non-elementwise randomness (the socks
+    sampling-without-replacement model, runtests.jl:33-75) — those keep
+    the XLA threefry path (see docs/api.md 'Discrete marginals')."""
+    import kissabc_tpu as ka
+
+    prior = ka.Factored(ka.DiscreteUniform(1, 10), ka.Uniform(0.1, 1.0))
+
+    def draw(th, eps):
+        m, s = th
+        return m + s * eps
+
+    def reduce_cost(th, mo):
+        var = jnp.maximum(mo[1] - mo[0] * mo[0], 0.0)
+        return jnp.hypot(mo[0] - 3.0, jnp.sqrt(var) - 0.5)
+
+    cost = ka.make_streaming_moment_cost(draw, reduce_cost, ndraws=500)
+    res = ka.smc(prior, cost, nparticles=512, cost_vectorized=True,
+                 epstol=0.08, key=5)
+    m_post, s_post = res.P
+    # the discrete marginal is returned pushed (integral)
+    assert np.allclose(m_post.particles, np.rint(m_post.particles))
+    assert abs(m_post.mean() - 3.0) < 0.3
+    assert abs(s_post.mean() - 0.5) < 0.15
