@@ -442,6 +442,78 @@ def row_ais_fused_generic():
             "flagship_updates_per_s": fl_ups, "n": n, "iters": iters}
 
 
+def row_smc_fused_generic():
+    """The r5 GENERIC fused SMC sweep (make_fused_smc_sweep) plugged
+    into the PRODUCTION sampler: (a) full adaptive smc to the README
+    tolerance with the one-kernel sweep (posterior parity + warm
+    wall-clock vs the 'smc-parity' split-path row), (b) the raw sweep
+    rate at n=131072 (vs the hard-coded sweep-fused headline). TPU
+    only."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    import kissabc_tpu as ka
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("generic fused smc row is TPU-only")
+    prior, _ = flagship()
+
+    def draw(th, eps):
+        mu, sg = th
+        return mu + sg * eps
+
+    def reduce_cost(th, m):
+        var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+        return jnp.sqrt(jnp.square(m[0] - 2.0)
+                        + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+    scost = ka.make_streaming_moment_cost(draw, reduce_cost)
+    fsweep = ka.make_fused_smc_sweep(prior, draw, reduce_cost)
+
+    def run(key):
+        return ka.smc(prior, scost, nparticles=1000, cost_vectorized=True,
+                      sweep_fused=fsweep, epstol=0.011113, key=key)
+
+    run(11)  # warm: compiles land in the persistent cache
+    t0 = time.perf_counter()
+    res = run(2)
+    wall = time.perf_counter() - t0
+    mu, sg = res.P
+    parity = (abs(mu.mean() - 2.0) < 0.05
+              and abs(sg.mean() - 0.0401) < 0.005)
+
+    # raw sweep rate (bench form: all alive, fixed eps)
+    n, iters = 131072, 500
+    key = jax.random.key(0)
+    thetas = jax.vmap(lambda k: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), prior.sample_tree(k)))(
+        jax.random.split(key, n))
+    xs = jnp.ones((n,), jnp.float32)
+    lps = jnp.zeros((n,), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    eps = jnp.float32(0.5)
+
+    @jax.jit
+    def many(k, th, x_, lp):
+        def body(c, kk):
+            th, x_, lp = c
+            th, x_, lp, acc = fsweep(kk, th, x_, lp, alive, eps,
+                                     jnp.asarray(False))
+            return (th, x_, lp), acc
+        (th, x_, lp), accs = jax.lax.scan(
+            body, (th, x_, lp), jax.random.split(k, iters))
+        return jnp.sum(accs)
+
+    def call(k):
+        float(many(k, thetas, xs, lps))
+
+    dt = _time_scalar_fn(call, lambda r: (jax.random.fold_in(key, r),))
+    return {"updates_per_s": n * iters / dt, "wall_s": wall,
+            "iterations": int(res.iterations), "eps": float(res.eps),
+            "mu": float(mu.mean()), "sigma": float(sg.mean()),
+            "parity": bool(parity), "n": n, "iters": iters}
+
+
 def row_mcmc_sweep():
     """Classical-MCMC mode (no simulator): Rosenbrock banana via
     CommonLogDensity with a vectorized log-density — raw ensemble-kernel
@@ -907,6 +979,7 @@ ROWS = {
     "streaming": row_streaming,
     "ais-fused": row_ais_fused,
     "ais-fused-generic": row_ais_fused_generic,
+    "smc-fused-generic": row_smc_fused_generic,
     "streaming-scan": row_streaming_scan,
     "tsmc": row_tsmc,
     "pfilter": row_pfilter,
@@ -944,7 +1017,8 @@ _STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   "g-and-k": 140.0, "rejection": 110.0,
                   # warm run + timed run back-to-back with no output
                   "tsmc": 150.0, "pfilter": 150.0, "abcde": 150.0,
-                  "streaming-scan": 150.0,
+                  "streaming-scan": 150.0, "ais-fused-generic": 150.0,
+                  "smc-fused-generic": 150.0,
                   # a single statistical test can compile+draw silently
                   # for minutes; the row streams a line per finished test
                   "pallas-tests": 480.0, "pallas-tests-core": 240.0}
@@ -1207,7 +1281,7 @@ def main():
     order = ["warmup", "sweep-pallas", "sweep-fused", "smc-parity",
              "ais-wallclock", "roofline", "ais-sweep", "mcmc-sweep",
              "streaming", "streaming-scan", "ais-fused",
-             "ais-fused-generic", "tsmc", "pfilter",
+             "ais-fused-generic", "smc-fused-generic", "tsmc", "pfilter",
              "abcde", "rejection", "sweep-xla", "g-and-k",
              "pallas-tests" if full else "pallas-tests-core"]
 

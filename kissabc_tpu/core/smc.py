@@ -81,12 +81,16 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                  epstol, r_epstol, min_r_ess, max_stretch, max_iters,
                  resample, verbose, constrain=lambda t: t,
                  cost_vectorized=False, partner_scheme="auto", mesh=None,
-                 quantile_impl="auto"):
+                 quantile_impl="auto", sweep_fused=None):
     """Build the jittable smc(key) -> final-state program. ``constrain``
     pins population arrays to a mesh axis (parallel/mesh.py); identity on
     a single chip. With ``cost_vectorized`` the user cost takes the whole
     pushed population + keys[n] at once — the hook for batched/Pallas
-    fused simulators (ops/pallas_kernels.py)."""
+    fused simulators (ops/pallas_kernels.py). ``sweep_fused`` replaces
+    the whole inner rejuvenation sweep with a one-kernel implementation
+    (``make_fused_smc_sweep``): proposal + prior gate + simulator +
+    cost gate + commit in one pallas_call; ``cost2`` still drives
+    init."""
     n = nparticles
     d = prior.nparams
     retry_n = 1 + mcmc_retrys
@@ -125,6 +129,8 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     def mcmc_sweep(key, thetas, xs, lps, alive, eps, flag):
         """One retry round of the rejuvenation sweep (smc.jl:159-191);
         proposals all read the pre-sweep snapshot (smc.jl:160-167)."""
+        if sweep_fused is not None:
+            return sweep_fused(key, thetas, xs, lps, alive, eps, flag)
         kp, kmh, kc = jax.random.split(key, 3)
         props = gaussian_diff_propose(kp, thetas, d, max_stretch,
                                       scheme=partner_scheme, mesh=mesh)
@@ -269,7 +275,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         resample: str = "replicate", verbose: bool = False,
         parallel: bool = True, mesh=None, cost_vectorized: bool = False,
         partner_scheme: str = "auto", quantile_impl: str = "auto",
-        key=0) -> SMCResult:
+        sweep_fused=None, key=0) -> SMCResult:
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
@@ -282,7 +288,21 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
     statistics by value bisection: O(1) bytes/chip on a mesh instead of
     the sort's full-population all-gather), ``'auto'`` = bisect when the
     population is sharded over >1 device; both are bit-identical on the
-    same cost multiset."""
+    same cost multiset. ``sweep_fused``: a one-kernel rejuvenation
+    sweep from ``make_fused_smc_sweep(prior, draw, reduce_cost, ...)``
+    — the whole inner MCMC move (proposal + prior gate + simulator +
+    cost gate + commit) runs as one pallas_call per retry round
+    (``cost`` still drives init, so pass the matching streaming cost).
+    On a mesh, build the sweep with the SAME mesh
+    (``make_fused_smc_sweep(..., mesh=mesh)``): partner rolls become
+    shard-sized ppermutes and the kernel runs per shard. Statistics
+    match the split path (different streams)."""
+    if sweep_fused is not None and mesh is not None \
+            and getattr(sweep_fused, "mesh", None) is not mesh:
+        raise ValueError(
+            "smc(mesh=...) with sweep_fused needs the sweep built for "
+            "the SAME mesh: make_fused_smc_sweep(..., mesh=mesh) — a "
+            "single-chip fused sweep cannot run on sharded populations")
     r_epstol, min_r_ess = _validate_smc_knobs(
         prior, nparticles=nparticles, alpha=alpha, mcmc_retrys=mcmc_retrys,
         mcmc_tol=mcmc_tol, r_epstol=r_epstol, min_r_ess=min_r_ess,
@@ -299,7 +319,7 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
         max_iters=max_iters, resample=resample, verbose=verbose,
         constrain=constrainer(mesh, "walker"), mesh=mesh,
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme,
-        quantile_impl=quantile_impl)
+        quantile_impl=quantile_impl, sweep_fused=sweep_fused)
     pushed, xs, lps, alive, eps, logz, it, done = \
         jax.jit(program)(as_key(key))
 

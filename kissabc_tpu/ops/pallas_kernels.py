@@ -1479,6 +1479,347 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
     return sweep
 
 
+def make_fused_smc_sweep(prior, draw, reduce_cost, *,
+                         max_stretch: float = 2.0, nmoments: int = 2,
+                         stats=None, ndraws: int = 1000,
+                         noise: str = "normal", block: int = 1024,
+                         chunk: int = 512, walker_tiles: int = 8,
+                         bits: str = "hw", interpret: bool | None = None,
+                         mesh=None):
+    """GENERIC fused SMC rejuvenation sweep: bring your own model to the
+    headline kernel — the smc twin of ``make_fused_ais_sweep``.
+
+    One pallas_call runs, per walker: the Gaussian-scaled difference
+    proposal (``smc.jl:160-167``; partner differences precomputed by two
+    contiguous XLA rolls of the snapshot ensemble), the user prior's
+    logpdf (push policy applied in-kernel), the DELAYED-ACCEPTANCE
+    structure (prior-only MH gate before the simulator — evaluated
+    branch-free: the simulator runs for every walker, which on TPU is
+    cheaper than divergence; the reference's cost-saving gate is about
+    host simulator calls, ``smc.jl:172-181``), the user's streaming
+    simulator, the cost gate against ``eps``, and the commit.
+
+    Contract matches ``_smc_program``'s inner sweep so it plugs into the
+    PRODUCTION sampler via ``smc(..., sweep_fused=...)``:
+
+        sweep(key, thetas, xs, lps, alive, eps, flag)
+            -> (thetas, xs, lps, naccept)
+
+    with ``thetas`` a tuple of [n] f32 leaves (a ``Factored`` of scalar
+    marginals), ``alive`` the bool live-walker mask, ``eps`` the traced
+    threshold, and ``flag`` the boundary bool selecting ``<=`` vs ``<``
+    (``smc.jl:136-141``). ``draw``/``reduce_cost``/``stats`` follow the
+    ``make_fused_ais_sweep`` in-kernel elementwise contract. TPU-only
+    (off-TPU keep the split path — ``smc`` with a streaming
+    ``cost_vectorized`` cost; ``interpret=True`` + ``bits='stub'`` for
+    golden tests).
+
+    ``mesh=``: a walker mesh makes the fused sweep MULTI-CHIP — the two
+    partner rolls of the snapshot ensemble go through ``roll_walkers``
+    (shard-sized ppermutes, bit-identical to ``jnp.roll``) and the
+    pallas_call runs per-shard under ``shard_map`` with a
+    per-shard-folded PRNG seed (each chip simulates an independent
+    stream; the in-kernel streams therefore differ from the single-chip
+    fused sweep — statistical parity, like every fused-vs-split
+    comparison). Accept counts psum over the mesh. Pass the SAME mesh
+    to ``smc(..., mesh=...)``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if stats is not None:
+        stats = tuple(stats)
+        if not 1 <= len(stats) <= 16:
+            raise ValueError(f"stats must have 1..16 entries, "
+                             f"got {len(stats)}")
+        nstats = len(stats)
+    else:
+        if nmoments < 1 or nmoments > 8:
+            raise ValueError(f"nmoments must be in [1, 8], got {nmoments}")
+        nstats = nmoments
+    if noise not in ("normal", "uniform"):
+        raise ValueError(f"noise must be 'normal' or 'uniform', "
+                         f"got {noise!r}")
+    if block % 128:
+        raise ValueError(f"block must be a multiple of 128, got {block}")
+    d = prior.nparams
+    nchunks = -(-ndraws // (2 * chunk))
+    exp_one = np.uint32(0x3F800000)
+    inv_n = np.float32(1.0 / ndraws)
+    w_scale = np.float32(max_stretch / math.sqrt(d))
+    neg_inf = np.float32(-np.inf)
+
+    def full_call(theta_l, dk_l, xs, lps, alive, eps, flag, seed,
+                  treedef, n, interp):
+        npad, wt = _plan_tiles(n, block, walker_tiles)
+        sb_rows = wt * block
+        TR = sb_rows // 128
+        K = len(theta_l)
+        if not interp and sb_rows % 1024:
+            raise ValueError(
+                f"walker_tiles*block = {sb_rows} must be a multiple of "
+                "1024 on TPU hardware (Mosaic sublane-tile alignment)")
+
+        def rbits(pid, seed, ctr, shape):
+            if bits == "hw":
+                return pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                     jnp.uint32)
+            return _stub_bits(pid, seed, ctr, shape)
+
+        def to_unit(b):
+            return pltpu.bitcast((b >> 9) | exp_one, jnp.float32) - 1.0
+
+        def kernel(seed_ref, eps_ref, flag_ref, *refs):
+            th_refs = refs[:K]
+            dk_refs = refs[K:2 * K]
+            xs_ref, lps_ref, al_ref = refs[2 * K:2 * K + 3]
+            out_refs = refs[2 * K + 3:3 * K + 6]   # K thetas + xs,lps,cm
+            scr = refs[3 * K + 6:]
+            prop_refs, cost_ref = scr[:K], scr[K]
+            pid = pl.program_id(0)
+            if bits == "hw":
+                pltpu.prng_seed(seed_ref[0] + pid)
+            tile = (TR, 128)
+
+            # per-walker randomness: proposal scale w ~ N(0,1), MH log-u
+            u1 = to_unit(rbits(pid, seed_ref[0], 40_000, tile))
+            u2 = to_unit(rbits(pid, seed_ref[0], 40_001, tile))
+            u3 = to_unit(rbits(pid, seed_ref[0], 40_002, tile))
+            z = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * _sincos_2pi(u2)[0]
+            w = z * w_scale
+            lprob = jnp.log1p(-u3)
+
+            props = []
+            for k in range(K):
+                props.append(th_refs[k][:] + dk_refs[k][:] * w)
+
+            # push policy in-kernel (see make_fused_ais_sweep): pushed
+            # tree feeds prior + simulator; committed walker stays raw
+            ptree = jax.tree_util.tree_unflatten(treedef, props)
+            pushed = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32),
+                prior.push_tree(ptree))
+            for k, pl_ in enumerate(jax.tree_util.tree_leaves(pushed)):
+                prop_refs[k][:] = pl_
+            lpp = jnp.asarray(prior.logpdf_tree(pushed), jnp.float32)
+            lps_old = lps_ref[:]
+            alive = al_ref[:] > np.float32(0.5)
+            # gate 1 — prior-only MH (smc.jl:172-175)
+            gate1 = (alive & (lpp > neg_inf)
+                     & (lprob < jnp.minimum(lpp - lps_old,
+                                            np.float32(0.0))))
+
+            # simulator (walker rows on lanes; see make_fused_ais_sweep)
+            shape = (chunk, 128)
+
+            def row(rr, _):
+                rows = pl.ds(rr, 1)
+                ths = [prop_refs[k][rows, :] for k in range(K)]
+                theta = jax.tree_util.tree_unflatten(treedef, ths)
+
+                def gen_pair(j):
+                    if bits == "hw":
+                        b1 = pltpu.bitcast(
+                            pltpu.prng_random_bits(shape), jnp.uint32)
+                        b2 = pltpu.bitcast(
+                            pltpu.prng_random_bits(shape), jnp.uint32)
+                    else:
+                        ctr = 2 * (rr * nchunks + j)
+                        b1 = _stub_bits(pid, seed_ref[0], ctr, shape)
+                        b2 = _stub_bits(pid, seed_ref[0], ctr + 1, shape)
+                    ua = to_unit(b1)
+                    ub = to_unit(b2)
+                    if noise == "normal":
+                        r_ = jnp.sqrt(-2.0 * jnp.log1p(-ua))
+                        cv, sv = _sincos_2pi(ub)
+                        return r_ * cv, r_ * sv
+                    return ua, ub
+
+                def accum(sums, x, vmask):
+                    sums = list(sums)
+                    if stats is None:
+                        if vmask is not None:
+                            x = jnp.where(vmask, x, np.float32(0.0))
+                        xp = x
+                        for p in range(nstats):
+                            sums[p] = sums[p] + jnp.sum(
+                                xp, axis=0, keepdims=True)
+                            if p + 1 < nstats:
+                                xp = xp * x
+                    else:
+                        for p, g in enumerate(stats):
+                            gx = jnp.asarray(g(x), jnp.float32)
+                            if vmask is not None:
+                                gx = jnp.where(vmask, gx,
+                                               np.float32(0.0))
+                            sums[p] = sums[p] + jnp.sum(
+                                gx, axis=0, keepdims=True)
+                    return tuple(sums)
+
+                sums = tuple(jnp.zeros((1, 128), jnp.float32)
+                             for _ in range(nstats))
+                nfull = ndraws // (2 * chunk)
+
+                def full_pair(j, sums):
+                    ea, eb = gen_pair(j)
+                    for eps_ in (ea, eb):
+                        x = jnp.asarray(draw(theta, eps_), jnp.float32)
+                        sums = accum(sums, x, None)
+                    return sums
+
+                if nfull:
+                    sums = jax.lax.fori_loop(0, nfull, full_pair, sums)
+                if nchunks > nfull:
+                    ea, eb = gen_pair(nfull)
+                    for hx, eps_ in ((0, ea), (1, eb)):
+                        start = (2 * nfull + hx) * chunk
+                        if start >= ndraws:
+                            continue
+                        x = jnp.asarray(draw(theta, eps_), jnp.float32)
+                        vmask = None
+                        if start + chunk > ndraws:
+                            sub = jax.lax.broadcasted_iota(
+                                jnp.int32, shape, 0)
+                            vmask = start + sub < ndraws
+                        sums = accum(sums, x, vmask)
+                moments = tuple(s * inv_n for s in sums)
+                cost_ref[rows, :] = jnp.asarray(
+                    reduce_cost(theta, moments), jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, TR, row, 0)
+
+            # gate 2 — cost vs eps (smc.jl:176-181) + commit
+            xp = cost_ref[:]
+            use_le = flag_ref[0] > np.uint32(0)
+            # no bool-vector select (Mosaic can't legalize arith.select
+            # on i1 vectors): <=-at-the-boundary as boolean algebra
+            gate2 = (xp < eps_ref[0]) | (use_le & (xp == eps_ref[0]))
+            commit = gate1 & gate2
+            for k in range(K):
+                out_refs[k][:] = jnp.where(commit, props[k],
+                                           th_refs[k][:])
+            out_refs[K][:] = jnp.where(commit, xp, xs_ref[:])
+            out_refs[K + 1][:] = jnp.where(commit, lpp, lps_old)
+            out_refs[K + 2][:] = commit.astype(jnp.float32)
+
+        R = npad // 128
+        spec = pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+        def pad(x, cv=0.0):
+            return jnp.pad(x, (0, npad - n),
+                           constant_values=np.float32(cv)).reshape(R, 128)
+
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(npad // sb_rows,),
+            in_specs=[smem, smem, smem] + [spec] * (2 * K + 3),
+            out_specs=[spec] * (K + 3),
+            out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)]
+            * (K + 3),
+            scratch_shapes=[pltpu.VMEM((TR, 128), jnp.float32)]
+            * (K + 1),
+            interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024) if not interp
+            else None,
+        )(jnp.asarray(seed, jnp.uint32).reshape(1),
+          jnp.asarray(eps, jnp.float32).reshape(1),
+          jnp.asarray(flag, jnp.uint32).reshape(1),
+          *[pad(x) for x in theta_l],
+          *[pad(x) for x in dk_l],
+          pad(xs),
+          # +inf lps padding: gate1 can never pass for padding walkers
+          pad(lps, np.inf),
+          pad(alive))
+        out_th = [o.reshape(npad)[:n] for o in outs[:K]]
+        oxs = outs[K].reshape(npad)[:n]
+        olps = outs[K + 1].reshape(npad)[:n]
+        ncommit = jnp.sum(outs[K + 2]).astype(jnp.int32)
+        return out_th, oxs, olps, ncommit
+
+    def sweep(key, thetas, xs, lps, alive, eps, flag):
+        leaves, treedef = jax.tree_util.tree_flatten(thetas)
+        leaves = [jnp.asarray(x, jnp.float32) for x in leaves]
+        if any(x.ndim != 1 for x in leaves):
+            raise ValueError(
+                "make_fused_smc_sweep expects per-walker scalar "
+                "parameters ([n] leaves); got shapes "
+                f"{[x.shape for x in leaves]}")
+        if len(leaves) != d:
+            raise ValueError(
+                f"prior has {d} scalar marginals but thetas has "
+                f"{len(leaves)} leaves")
+        n = leaves[0].shape[0]
+        if n < 3:
+            raise ValueError("need at least 3 walkers")
+        interp = (not _on_tpu()) if interpret is None else interpret
+        if interp and interpret is None:
+            raise RuntimeError(
+                "make_fused_smc_sweep is the TPU fast path; off-TPU "
+                "use smc with a streaming cost_vectorized cost "
+                "(or pass interpret=True explicitly for golden tests)")
+        kp, ks = jax.random.split(key)
+        # two distinct rotation shifts from one bits call — the partner
+        # law of gaussian_diff_propose's roll scheme (ops/moves.py)
+        v = jax.random.bits(kp, (2,), jnp.uint32)
+        r1 = (v[0] % np.uint32(n - 1)).astype(jnp.int32) + 1
+        r2 = (v[1] % np.uint32(n - 2)).astype(jnp.int32) + 1
+        r2 = r2 + (r2 >= r1)
+        seed = jax.random.bits(ks, (), jnp.uint32)
+        alive_f = jnp.asarray(alive, jnp.float32)
+
+        ndev = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get("walker", 1) if mesh is not None else 1)
+        if ndev > 1:
+            if n % ndev:
+                raise ValueError(
+                    f"n={n} walkers must divide the mesh walker axis "
+                    f"({ndev} devices)")
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import roll_walkers
+            # global partner rolls as shard-sized ppermutes
+            # (bit-identical to jnp.roll — parallel/mesh.py)
+            ta = roll_walkers(tuple(leaves), r2, mesh)
+            tb = roll_walkers(tuple(leaves), r1, mesh)
+            dk_l = tuple(a - b for a, b in zip(ta, tb))
+
+            def local(seed, eps, flag, th_l, dk_l, xs, lps, al):
+                idx = jax.lax.axis_index("walker").astype(jnp.uint32)
+                # distinct per-shard PRNG streams (the in-kernel seed
+                # also offsets by program id, so stride past any
+                # per-shard grid: 2^20 programs/shard is far above use)
+                lseed = seed + (idx + jnp.uint32(1)) * jnp.uint32(1 << 20)
+                out_th, oxs, olps, nacc = full_call(
+                    list(th_l), list(dk_l), xs, lps, al, eps, flag,
+                    lseed, treedef, n // ndev, interp)
+                return (tuple(out_th), oxs, olps,
+                        jax.lax.psum(nacc, "walker"))
+
+            out_th, oxs, olps, nacc = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(), P("walker"), P("walker"),
+                          P("walker"), P("walker"), P("walker")),
+                out_specs=(P("walker"), P("walker"), P("walker"), P()),
+                check_vma=False)(
+                seed, jnp.asarray(eps, jnp.float32),
+                jnp.asarray(flag, jnp.uint32), tuple(leaves),
+                dk_l, xs, lps, alive_f)
+            out_th = list(out_th)
+        else:
+            dk_l = [jnp.roll(x, r2) - jnp.roll(x, r1) for x in leaves]
+            out_th, oxs, olps, nacc = full_call(
+                leaves, dk_l, xs, lps, alive_f, eps, flag, seed,
+                treedef, n, interp)
+        return (jax.tree_util.tree_unflatten(treedef, out_th),
+                oxs, olps, nacc)
+
+    sweep.mesh = mesh
+    return sweep
+
+
 def shard_batched_cost(cost_batched, mesh, axis: str = "walker"):
     """Make a batched cost mesh-ready: run it per-shard under shard_map.
 

@@ -412,3 +412,46 @@ def test_quantile_impl_collective_structure():
     a = float(masked_quantile(x, mask, 0.95))
     b = float(masked_quantile_bisect(x, mask, 0.95))
     assert a == b
+
+
+def test_fused_smc_sweep_sharded_collectives():
+    """The r5 sharded FUSED smc sweep (make_fused_smc_sweep(mesh=...)):
+    the one-kernel sweep runs per-shard under shard_map, so the only
+    cross-chip traffic is the two partner rolls (roll_walkers ppermutes,
+    shard-sized) and the scalar accept-count psum — no all-gather, no
+    all-to-all, nothing O(population). The fused tier therefore has the
+    same O(shard)-bytes/chip scaling structure as the split sweep."""
+    _require_devices(8)
+    import kissabc_tpu as ka
+
+    ndev, n = 8, 1024
+    mesh = make_mesh(walker=ndev)
+    prior, _ = _flagship()
+
+    def draw(th, eps):
+        mu, sg = th
+        return mu + sg * eps
+
+    def reduce_cost(th, m):
+        return jnp.abs(m[0] - 2.0)
+
+    sweep = ka.make_fused_smc_sweep(prior, draw, reduce_cost, ndraws=64,
+                                    block=128, chunk=64, walker_tiles=1,
+                                    bits="stub", interpret=True,
+                                    mesh=mesh)
+    key, thetas, xs, lps, eps = _sweep_args(prior, n)
+    alive = jnp.ones((n,), bool)
+    txt = jax.jit(sweep).lower(key, thetas, xs, lps, alive, eps,
+                               jnp.asarray(False)).compile().as_text()
+    ops = _collective_ops(txt)
+    kinds = {k for k, _ in ops}
+    assert "all-gather" not in kinds, ops
+    assert "all-to-all" not in kinds, ops
+    shard_bytes = n // ndev * 4
+    perms = [b for k, b in ops if k == "collective-permute"]
+    # 2 rolls x (ndev variants + 1 neighbour) x 2 leaves, all shard-sized
+    assert perms and all(b == shard_bytes for b in perms), perms
+    assert len(perms) == 2 * (ndev + 1) * 2, (len(perms), perms)
+    for k, b in ops:
+        if k == "all-reduce":
+            assert b <= 64, (k, b)

@@ -888,3 +888,126 @@ def test_streaming_mixed_prior_smc_end_to_end():
     assert np.allclose(m_post.particles, np.rint(m_post.particles))
     assert abs(m_post.mean() - 3.0) < 0.3
     assert abs(s_post.mean() - 0.5) < 0.15
+
+
+class TestFusedSMCGeneric:
+    """make_fused_smc_sweep (r5): the whole smc rejuvenation sweep —
+    Gaussian-diff proposal + prior gate + simulator + cost gate + commit
+    — in ONE pallas_call for arbitrary user models, pluggable into the
+    PRODUCTION sampler via smc(..., sweep_fused=...)."""
+
+    @staticmethod
+    def _model(ndraws=200, **kw):
+        import kissabc_tpu as ka
+
+        prior = ka.Factored(ka.Uniform(1, 3),
+                            ka.TruncatedNormal(0, 0.05, 0, 100))
+
+        def draw(th, eps):
+            mu, sg = th
+            return mu + sg * eps
+
+        def reduce_cost(th, m):
+            var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+            return jnp.sqrt(jnp.square(m[0] - 2.0)
+                            + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+        scost = ka.make_streaming_moment_cost(draw, reduce_cost,
+                                              ndraws=ndraws)
+        fsweep = ka.make_fused_smc_sweep(prior, draw, reduce_cost,
+                                         ndraws=ndraws, **kw)
+        return prior, scost, fsweep
+
+    def test_validation(self):
+        import kissabc_tpu as ka
+
+        prior, scost, _ = self._model()
+        dr = lambda th, e: th[0] + th[1] * e
+        rc = lambda th, m: m[0]
+        with pytest.raises(ValueError, match="multiple of 128"):
+            ka.make_fused_smc_sweep(prior, dr, rc, block=100)
+        with pytest.raises(ValueError, match="noise"):
+            ka.make_fused_smc_sweep(prior, dr, rc, noise="laplace")
+        # sweep_fused + mesh is rejected by smc (single-chip fast path)
+        from kissabc_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) >= 2:
+            sweep = ka.make_fused_smc_sweep(prior, dr, rc,
+                                            bits="stub", interpret=True)
+            with pytest.raises(ValueError, match="single-chip"):
+                ka.smc(prior, scost, nparticles=64, cost_vectorized=True,
+                       sweep_fused=sweep, mesh=make_mesh(walker=2))
+        if not ON_TPU:
+            auto = ka.make_fused_smc_sweep(prior, dr, rc)
+            n = 64
+            th = (jnp.ones((n,)), jnp.ones((n,)))
+            with pytest.raises(RuntimeError, match="TPU fast path"):
+                auto(jax.random.key(0), th, jnp.ones((n,)),
+                     jnp.zeros((n,)), jnp.ones((n,), bool),
+                     jnp.float32(1.0), jnp.asarray(False))
+
+    def test_interpret_smc_end_to_end(self):
+        """Full PRODUCTION smc with the fused sweep (interpret + stub
+        bits off-TPU) recovers the README posterior."""
+        import kissabc_tpu as ka
+
+        prior, scost, fsweep = self._model(
+            ndraws=200, block=128, chunk=128, walker_tiles=2,
+            bits="stub", interpret=True)
+        res = ka.smc(prior, scost, nparticles=512, cost_vectorized=True,
+                     sweep_fused=fsweep, epstol=0.1, key=7)
+        mu, sg = res.P
+        assert abs(mu.mean() - 2.0) < 0.05
+        assert abs(sg.mean() - 0.04) < 0.01
+        assert float(res.eps) <= 0.1
+
+    @pytest.mark.tpu_hw
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_matches_split_smc_statistically(self):
+        """PRODUCTION smc to the README tolerance through the fused
+        sweep vs the split path: both hit the reference oracle
+        (README.md:84) — the smc twin of the fused-AIS parity tests."""
+        import kissabc_tpu as ka
+
+        prior, scost, fsweep = self._model(ndraws=1000)
+        a = ka.smc(prior, scost, nparticles=1000, cost_vectorized=True,
+                   sweep_fused=fsweep, epstol=0.011113, key=2)
+        b = ka.smc(prior, scost, nparticles=1000, cost_vectorized=True,
+                   epstol=0.011113, key=2)
+        for res in (a, b):
+            mu, sg = res.P
+            assert abs(mu.mean() - 2.0) < 0.05
+            assert abs(sg.mean() - 0.0401) < 0.005
+        assert abs(a.P[0].mean() - b.P[0].mean()) < 0.01
+
+    def test_interpret_smc_sharded_mesh(self):
+        """The sharded fused sweep (mesh=) end-to-end through production
+        smc on an 8-virtual-device CPU mesh (interpret + stub bits):
+        posterior recovery + the mesh-mismatch guard."""
+        import kissabc_tpu as ka
+        from kissabc_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(walker=8)
+        prior, scost, _ = self._model(ndraws=200)
+        dr = lambda th, e: th[0] + th[1] * e
+
+        def rc(th, m):
+            var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+            return jnp.sqrt(jnp.square(m[0] - 2.0)
+                            + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+        fsweep = ka.make_fused_smc_sweep(
+            prior, dr, rc, ndraws=200, block=128, chunk=128,
+            walker_tiles=2, bits="stub", interpret=True, mesh=mesh)
+        res = ka.smc(prior, scost, nparticles=512, cost_vectorized=True,
+                     sweep_fused=fsweep, mesh=mesh, epstol=0.12, key=7)
+        mu, sg = res.P
+        assert abs(mu.mean() - 2.0) < 0.05
+        assert abs(sg.mean() - 0.04) < 0.01
+        # a single-chip fused sweep on a sharded population is rejected
+        single = ka.make_fused_smc_sweep(prior, dr, rc, ndraws=200,
+                                         bits="stub", interpret=True)
+        with pytest.raises(ValueError, match="SAME mesh"):
+            ka.smc(prior, scost, nparticles=512, cost_vectorized=True,
+                   sweep_fused=single, mesh=mesh, key=1)

@@ -121,6 +121,12 @@ def values(rows):
             rows["ais-fused-generic"]["split_updates_per_s"]),
         "ais_fused_generic_flagship": _m(
             rows["ais-fused-generic"]["flagship_updates_per_s"]),
+        "smc_fused_generic": _m(rows["smc-fused-generic"]["updates_per_s"]),
+        "smc_fused_generic_wall": _s(rows["smc-fused-generic"]["wall_s"]),
+        "smc_fused_generic_iters": str(
+            rows["smc-fused-generic"]["iterations"]),
+        "smc_fused_generic_parity": _ok(
+            rows["smc-fused-generic"]["parity"]),
         "streaming_scan":
             f"{rows['streaming-scan']['gsteps_per_s']:.1f}",
         "streaming_scan_sweep":
