@@ -355,7 +355,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
                 resample: str = "replicate", checkpoint_every: int = 10,
                 cost_vectorized: bool = False, mesh=None,
                 partner_scheme: str = "auto", quantile_impl: str = "auto",
-                key=0) -> SMCResult:
+                sweep_fused=None, key=0) -> SMCResult:
     """Host-stepped smc: the same algorithm as ``smc`` but with the outer
     adaptive loop driven from the host, enabling (a) per-iteration
     structured logging via ``log`` (an ``utils.logging.IterLog``) and
@@ -366,7 +366,16 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
     ``mesh``: shard the population over a mesh ``walker`` axis exactly
     like ``smc(mesh=...)`` — checkpoints are device-agnostic host
     arrays, so a run may be checkpointed on one mesh and resumed on
-    another (or on a single chip)."""
+    another (or on a single chip). ``sweep_fused`` accepts a one-kernel
+    rejuvenation sweep from ``make_fused_smc_sweep`` exactly like
+    ``smc`` (build it with the same ``mesh`` when sharded)."""
+    if sweep_fused is not None and mesh is not None \
+            and getattr(sweep_fused, "mesh", None) is not mesh:
+        raise ValueError(
+            "smc_stepped(mesh=...) with sweep_fused needs the sweep "
+            "built for the SAME mesh: make_fused_smc_sweep(..., "
+            "mesh=mesh) — a single-chip fused sweep cannot run on "
+            "sharded populations")
     import os
 
     from ..utils import checkpoint as ckpt
@@ -386,7 +395,7 @@ def smc_stepped(prior, cost, *, checkpoint_path: str | None = None,
         resample=resample, verbose=False,
         constrain=constrainer(mesh, "walker"), mesh=mesh,
         cost_vectorized=cost_vectorized, partner_scheme=partner_scheme,
-        quantile_impl=quantile_impl)
+        quantile_impl=quantile_impl, sweep_fused=sweep_fused)
 
     init_state = jax.jit(program.init_state)
     body = jax.jit(program.body)
