@@ -1118,7 +1118,8 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
                          noise: str = "normal", a_stretch: float = 3.0,
                          block: int = 1024, chunk: int = 512,
                          walker_tiles: int = 8, bits: str = "hw",
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         halves: bool = False, mesh=None):
     """GENERIC fused AIS red/black sweep: bring your own model (VERDICT
     r4 next #3 — the ~142M fused path was flagship-only; arbitrary user
     models fell back to the ~124M split path or 27M pure XLA).
@@ -1155,7 +1156,21 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
     Off-TPU with ``interpret=None`` raises — use the split
     ``make_sweep`` path there (this kernel exists for the TPU fast
     path; ``interpret=True`` + ``bits='stub'`` is for golden tests).
+
+    ``halves=True`` returns the halves-carry contract instead
+    (``core.ais.make_sweep_halves``: ``sweep(key, (tree_a, tree_b),
+    ((lp_a, ll_a), (lp_b, ll_b)))``) — required with ``mesh=``, where
+    each red/black half stays shard-local, the 6 partner rolls per
+    half-update go through ``roll_walkers`` shard-sized ppermutes, and
+    the kernel runs per shard under ``shard_map`` with
+    per-shard-folded seeds (multi-chip fused AIS; in-kernel streams
+    differ from the single-chip kernel — statistical parity).
     """
+    if mesh is not None and not halves:
+        raise ValueError(
+            "make_fused_ais_sweep(mesh=...) requires halves=True: "
+            "slicing a sharded full ensemble into halves would reshard "
+            "every sweep — carry the halves (make_sweep_halves layout)")
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1409,18 +1424,116 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
           *[pad(p) for p in parts_l])
         return tuple(o.reshape(npad)[:h] for o in outs)
 
-    def sweep(key, thetas, lds):
-        leaves, treedef = jax.tree_util.tree_flatten(thetas)
-        leaves = [jnp.asarray(x, jnp.float32) for x in leaves]
+    def _check_leaves(leaves, what):
         if any(x.ndim != 1 for x in leaves):
             raise ValueError(
                 "make_fused_ais_sweep expects per-walker scalar "
-                "parameters ([n] leaves); got shapes "
+                f"parameters ([n] leaves); got {what} shapes "
                 f"{[x.shape for x in leaves]}")
         if len(leaves) != d:
             raise ValueError(
                 f"prior has {d} scalar marginals but thetas has "
                 f"{len(leaves)} leaves")
+
+    def _resolve_interp():
+        interp = (not _on_tpu()) if interpret is None else interpret
+        if interp and interpret is None:
+            raise RuntimeError(
+                "make_fused_ais_sweep is the TPU fast path; off-TPU "
+                "use core.ais.make_sweep with a streaming cost "
+                "(or pass interpret=True explicitly for golden tests)")
+        return interp
+
+    def _shifts(key, h):
+        """Six distinct-within-move rotation shifts from one bits call
+        (stretch s1; DE d1 != d2; walk w1, w2, w3 distinct)."""
+        v = jax.random.bits(key, (6,), jnp.uint32)
+        s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
+        d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
+        d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
+        d2 = d2 + (d2 >= d1)
+        w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
+        w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
+        w2 = w2 + (w2 >= w1)
+        w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
+        lo_ = jnp.minimum(w1, w2)
+        hi_ = jnp.maximum(w1, w2)
+        w3 = w3 + (w3 >= lo_)
+        w3 = w3 + (w3 >= hi_)
+        return (s1, d1, d2, w1, w2, w3)
+
+    def _parts(comp_l, shifts):
+        """Partner arrays, leaf-major x 6 shifts per leaf; with a mesh
+        the rolls go through roll_walkers (shard-sized ppermutes,
+        bit-identical to jnp.roll)."""
+        if mesh is not None:
+            from ..parallel.mesh import roll_walkers
+            per_shift = [roll_walkers(tuple(comp_l), -r, mesh)
+                         for r in shifts]
+            return [per_shift[j][k] for k in range(len(comp_l))
+                    for j in range(6)]
+        return [jnp.roll(x, -r) for x in comp_l for r in shifts]
+
+    def sweep_halves(key, th, ld):
+        """Halves-carry contract (core.ais.make_sweep_halves): th =
+        (tree_a, tree_b) with [h] leaves, ld = ((lp_a, ll_a),
+        (lp_b, ll_b)). On a mesh each half stays shard-local and the
+        kernel runs per shard."""
+        tha_l, treedef = jax.tree_util.tree_flatten(th[0])
+        thb_l = jax.tree_util.tree_leaves(th[1])
+        tha_l = [jnp.asarray(x, jnp.float32) for x in tha_l]
+        thb_l = [jnp.asarray(x, jnp.float32) for x in thb_l]
+        _check_leaves(tha_l, "half-A")
+        (lpa, lla), (lpb, llb) = ld
+        h = tha_l[0].shape[0]
+        if h < 3:
+            raise ValueError("need at least 6 walkers")
+        interp = _resolve_interp()
+        ndev = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get("walker", 1) if mesh is not None else 1)
+        if ndev > 1 and h % ndev:
+            raise ValueError(
+                f"half size {h} must divide the mesh walker axis "
+                f"({ndev} devices)")
+
+        def half_update(key, upd_l, lp, ll, comp_l):
+            kp, ks = jax.random.split(key)
+            parts = _parts(comp_l, _shifts(kp, h))
+            seed = jax.random.bits(ks, (), jnp.uint32)
+            if ndev <= 1:
+                outs = half_call(upd_l, lp, ll, parts, seed, treedef,
+                                 h, interp)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                def local(seed, th_l, lp, ll, parts):
+                    idx = jax.lax.axis_index("walker") \
+                        .astype(jnp.uint32)
+                    lseed = seed + (idx + jnp.uint32(1)) \
+                        * jnp.uint32(1 << 20)
+                    return half_call(list(th_l), lp, ll, list(parts),
+                                     lseed, treedef, h // ndev, interp)
+
+                outs = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P("walker"), P("walker"),
+                              P("walker"), P("walker")),
+                    out_specs=(P("walker"),) * (d + 2),
+                    check_vma=False)(
+                    seed, tuple(upd_l), lp, ll, tuple(parts))
+            return list(outs[:d]), outs[d], outs[d + 1]
+
+        ka_, kb_ = jax.random.split(key)
+        tha_l, lpa, lla = half_update(ka_, tha_l, lpa, lla, thb_l)
+        thb_l, lpb, llb = half_update(kb_, thb_l, lpb, llb, tha_l)
+        return ((jax.tree_util.tree_unflatten(treedef, tha_l),
+                 jax.tree_util.tree_unflatten(treedef, thb_l)),
+                ((lpa, lla), (lpb, llb)))
+
+    def sweep(key, thetas, lds):
+        leaves, treedef = jax.tree_util.tree_flatten(thetas)
+        leaves = [jnp.asarray(x, jnp.float32) for x in leaves]
+        _check_leaves(leaves, "thetas")
         lp, ll = lds
         n = leaves[0].shape[0]
         if n % 2:
@@ -1430,32 +1543,10 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
         h = n // 2
         if h < 3:
             raise ValueError("need at least 6 walkers")
-        interp = (not _on_tpu()) if interpret is None else interpret
-        if interp and interpret is None:
-            raise RuntimeError(
-                "make_fused_ais_sweep is the TPU fast path; off-TPU "
-                "use core.ais.make_sweep with a streaming cost "
-                "(or pass interpret=True explicitly for golden tests)")
+        interp = _resolve_interp()
 
         def rolls(key, comp_l):
-            v = jax.random.bits(key, (6,), jnp.uint32)
-            s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
-            d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
-            d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
-            d2 = d2 + (d2 >= d1)
-            w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
-            w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
-            w2 = w2 + (w2 >= w1)
-            w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
-            lo_ = jnp.minimum(w1, w2)
-            hi_ = jnp.maximum(w1, w2)
-            w3 = w3 + (w3 >= lo_)
-            w3 = w3 + (w3 >= hi_)
-            out = []
-            for x in comp_l:   # partner layout: 6 rolls PER LEAF
-                for r in (s1, d1, d2, w1, w2, w3):
-                    out.append(jnp.roll(x, -r))
-            return out
+            return _parts(comp_l, _shifts(key, h))
 
         def half(key, th_l, lp, ll, lo):
             kp, ks = jax.random.split(key)
@@ -1476,7 +1567,9 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
         leaves, lp, ll = half(kb_, leaves, lp, ll, h)
         return (jax.tree_util.tree_unflatten(treedef, leaves), (lp, ll))
 
-    return sweep
+    out = sweep_halves if halves else sweep
+    out.mesh = mesh
+    return out
 
 
 def make_fused_smc_sweep(prior, draw, reduce_cost, *,

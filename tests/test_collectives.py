@@ -455,3 +455,51 @@ def test_fused_smc_sweep_sharded_collectives():
     for k, b in ops:
         if k == "all-reduce":
             assert b <= 64, (k, b)
+
+
+def test_fused_ais_sweep_sharded_collectives():
+    """The r5 sharded FUSED AIS sweep (make_fused_ais_sweep(halves=True,
+    mesh=...)): per-shard kernels under shard_map; cross-chip traffic =
+    the 12 partner rolls per sweep as roll_walkers ppermutes, every one
+    HALF-shard-sized — no all-gather/all-to-all, same contract as the
+    split make_sweep_halves audit above."""
+    _require_devices(8)
+    import kissabc_tpu as ka
+    from kissabc_tpu.core.ais import _halves
+
+    ndev, n = 8, 1024
+    h = n // 2
+    mesh = make_mesh(walker=ndev)
+    prior, _ = _flagship()
+
+    def draw(th, eps):
+        return th[0] + th[1] * eps
+
+    def rc(th, m):
+        return jnp.abs(m[0] - 2.0)
+
+    sweep = ka.make_fused_ais_sweep(
+        prior, draw, rc, scale=0.5, ndraws=64, block=128, chunk=64,
+        walker_tiles=1, bits="stub", interpret=True, halves=True,
+        mesh=mesh)
+    scost = ka.make_streaming_moment_cost(draw, rc, ndraws=64)
+    model = ka.ApproxKernelizedPosterior(prior, scost, 0.5,
+                                         cost_vectorized=True)
+    key = jax.random.key(0)
+    thetas = jax.vmap(model.init_sample)(jax.random.split(key, n))
+    lds = model.loglike_batch(jax.vmap(model.push)(thetas),
+                              jax.random.fold_in(key, 1))
+    txt = jax.jit(sweep).lower(
+        key, _halves(thetas, h), _halves(lds, h)).compile().as_text()
+    ops = _collective_ops(txt)
+    kinds = {k for k, _ in ops}
+    assert "all-gather" not in kinds, ops
+    assert "all-to-all" not in kinds, ops
+    shard_bytes = h // ndev * 4
+    perms = [b for k, b in ops if k == "collective-permute"]
+    # 12 rolls x (ndev variants + 1 neighbour) x 2 leaves, half-shard
+    assert perms and all(b == shard_bytes for b in perms), perms
+    assert len(perms) == 12 * (ndev + 1) * 2, (len(perms), perms)
+    for k, b in ops:
+        if k == "all-reduce":
+            assert b <= 64, (k, b)

@@ -1011,3 +1011,41 @@ class TestFusedSMCGeneric:
         with pytest.raises(ValueError, match="SAME mesh"):
             ka.smc(prior, scost, nparticles=512, cost_vectorized=True,
                    sweep_fused=single, mesh=mesh, key=1)
+
+def test_fused_ais_halves_contract_and_sharded_mesh():
+    """make_fused_ais_sweep(halves=True) returns the make_sweep_halves
+    carry contract; with mesh= the sweep runs per-shard on the
+    8-virtual-device CPU mesh (interpret + stub) and the population
+    still contracts toward the data. Full-array + mesh is rejected."""
+    import kissabc_tpu as ka
+    from kissabc_tpu.core.ais import _halves
+    from kissabc_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    prior, draw, rc, model = TestFusedAISGeneric._model(
+        scale=0.5, ndraws=200)
+    mesh = make_mesh(walker=8)
+    sw = ka.make_fused_ais_sweep(
+        prior, draw, rc, scale=0.5, ndraws=200, block=128,
+        chunk=128, walker_tiles=2, bits="stub", interpret=True,
+        halves=True, mesh=mesh)
+    n = 512
+    key, thetas, lds = TestFusedAISGeneric._start(model, n)
+    th0, ld0 = _halves(thetas, n // 2), _halves(lds, n // 2)
+
+    @jax.jit
+    def many(k, th, ld):
+        def body(c, kk):
+            th, ld = c
+            return sw(kk, th, ld), None
+        return jax.lax.scan(body, (th, ld),
+                            jax.random.split(k, 15))[0]
+
+    th, ld = many(key, th0, ld0)
+    mu = np.concatenate([np.asarray(th[0][0]), np.asarray(th[1][0])])
+    assert (mu != np.asarray(thetas[0])).mean() > 0.5
+    assert abs(mu.mean() - 2.0) < 0.1
+    with pytest.raises(ValueError, match="halves=True"):
+        ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
+                                mesh=mesh)
