@@ -514,6 +514,54 @@ def row_smc_fused_generic():
             "parity": bool(parity), "n": n, "iters": iters}
 
 
+def row_smc_1m():
+    """Production-scale evidence: FULL adaptive smc with 2^20 particles
+    to the README tolerance, generic fused sweep + ESS/2 resampling
+    (min_r_ess=0.5 — the ESS-triggered rule that is the reference's
+    documented intent; its literal default resamples EVERY iteration at
+    the alpha*ESS <= N*alpha^2 boundary, which at 1M costs ~45-90 ms of
+    population gathers per iteration — profiled r5: 12.6 s vs 4.4 s
+    warm). Posterior parity asserted. TPU only."""
+    jax = _child_init()
+    import jax.numpy as jnp
+
+    import kissabc_tpu as ka
+
+    if jax.devices()[0].platform != "tpu":
+        raise RuntimeError("1M-particle row is TPU-only")
+    prior, _ = flagship()
+
+    def draw(th, eps):
+        mu, sg = th
+        return mu + sg * eps
+
+    def reduce_cost(th, m):
+        var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+        return jnp.sqrt(jnp.square(m[0] - 2.0)
+                        + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+    scost = ka.make_streaming_moment_cost(draw, reduce_cost)
+    fsweep = ka.make_fused_smc_sweep(prior, draw, reduce_cost)
+    n = 1 << 20
+
+    def run(key):
+        return ka.smc(prior, scost, nparticles=n, cost_vectorized=True,
+                      sweep_fused=fsweep, min_r_ess=0.5,
+                      epstol=0.011113, key=key)
+
+    run(11)
+    t0 = time.perf_counter()
+    res = run(1)
+    wall = time.perf_counter() - t0
+    mu, sg = res.P
+    parity = (abs(mu.mean() - 2.0) < 0.05
+              and abs(sg.mean() - 0.0401) < 0.005)
+    return {"wall_s": wall, "nparticles": n,
+            "iterations": int(res.iterations), "eps": float(res.eps),
+            "mu": float(mu.mean()), "mu_sd": float(mu.std()),
+            "sigma": float(sg.mean()), "parity": bool(parity)}
+
+
 def row_mcmc_sweep():
     """Classical-MCMC mode (no simulator): Rosenbrock banana via
     CommonLogDensity with a vectorized log-density — raw ensemble-kernel
@@ -980,6 +1028,7 @@ ROWS = {
     "ais-fused": row_ais_fused,
     "ais-fused-generic": row_ais_fused_generic,
     "smc-fused-generic": row_smc_fused_generic,
+    "smc-1m": row_smc_1m,
     "streaming-scan": row_streaming_scan,
     "tsmc": row_tsmc,
     "pfilter": row_pfilter,
@@ -1018,7 +1067,7 @@ _STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   # warm run + timed run back-to-back with no output
                   "tsmc": 150.0, "pfilter": 150.0, "abcde": 150.0,
                   "streaming-scan": 150.0, "ais-fused-generic": 150.0,
-                  "smc-fused-generic": 150.0,
+                  "smc-fused-generic": 150.0, "smc-1m": 200.0,
                   # a single statistical test can compile+draw silently
                   # for minutes; the row streams a line per finished test
                   "pallas-tests": 480.0, "pallas-tests-core": 240.0}
@@ -1281,7 +1330,7 @@ def main():
     order = ["warmup", "sweep-pallas", "sweep-fused", "smc-parity",
              "ais-wallclock", "roofline", "ais-sweep", "mcmc-sweep",
              "streaming", "streaming-scan", "ais-fused",
-             "ais-fused-generic", "smc-fused-generic", "tsmc", "pfilter",
+             "ais-fused-generic", "smc-fused-generic", "smc-1m", "tsmc", "pfilter",
              "abcde", "rejection", "sweep-xla", "g-and-k",
              "pallas-tests" if full else "pallas-tests-core"]
 

@@ -279,7 +279,16 @@ def smc(prior, cost, *, nparticles: int = 100, alpha: float = 0.95,
     """Adaptive SMC-ABC. Signature and defaults mirror the reference
     (smc.jl:92-106): ``r_epstol=(1-alpha)^1.5/50``, ``min_r_ess=alpha^2``.
     ``parallel`` is accepted for API parity; execution is always the
-    batched TPU path. ``resample='systematic'`` swaps the reference's
+    batched TPU path.
+
+    Large-population note: the reference's literal resample trigger
+    (``alpha*ESS <= N*min_r_ess`` with ``min_r_ess=alpha^2``) fires
+    every iteration at its own boundary, and each replicate-resample
+    costs ~45-90 ms of population gathers at 2^20 particles (XLA gather
+    latency; profiled). ``min_r_ess=0.5`` — resample when ESS halves,
+    the standard ESS-triggered rule — gave identical posterior moments
+    2.9x faster at 1M (docs/benchmarks.md ``smc-1m``). Defaults stay
+    reference-exact. ``resample='systematic'`` swaps the reference's
     deterministic replication (smc.jl:146-152) for low-variance systematic
     resampling. ``mesh``: a ``jax.sharding.Mesh`` with a ``walker`` axis —
     the population is sharded over it and XLA inserts the ICI collectives

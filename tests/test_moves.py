@@ -112,3 +112,32 @@ def test_mixture_mh_preserves_standard_normal():
     # joint second moments: components uncorrelated
     c = np.corrcoef(samples.T)
     assert abs(c[0, 1]) < 0.05
+
+
+def test_bits_to_variate_maps_match_jax_random_laws():
+    """The raw-bits -> variate maps behind the fused per-sweep draw
+    (_bits_to_uniform/_bits_to_normal/_bits_to_log_uniform) reproduce
+    the laws of the jax.random primitives they replace (moment + range
+    checks on real threefry bits)."""
+    from kissabc_tpu.ops.moves import (_bits_to_log_uniform,
+                                       _bits_to_normal,
+                                       _bits_to_uniform)
+
+    bits = jax.random.bits(jax.random.key(0), (200_000,), jnp.uint32)
+    u = np.asarray(_bits_to_uniform(bits))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 2e-3
+    assert abs(u.var() - 1.0 / 12.0) < 1e-3
+
+    z = np.asarray(_bits_to_normal(bits))
+    assert np.isfinite(z).all()
+    assert abs(z.mean()) < 6e-3
+    assert abs(z.std() - 1.0) < 5e-3
+    assert abs(np.mean(z ** 3)) < 0.02          # symmetry
+    assert abs(np.mean(z ** 4) - 3.0) < 0.06    # normal kurtosis
+
+    lu = np.asarray(_bits_to_log_uniform(bits))
+    assert (lu <= 0.0).all() and np.isfinite(lu).all()
+    # -lu ~ Exponential(1)
+    assert abs((-lu).mean() - 1.0) < 6e-3
+    assert abs((-lu).var() - 1.0) < 2e-2

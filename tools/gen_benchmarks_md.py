@@ -127,6 +127,9 @@ def values(rows):
             rows["smc-fused-generic"]["iterations"]),
         "smc_fused_generic_parity": _ok(
             rows["smc-fused-generic"]["parity"]),
+        "smc_1m_wall": _s(rows["smc-1m"]["wall_s"]),
+        "smc_1m_iters": str(rows["smc-1m"]["iterations"]),
+        "smc_1m_parity": _ok(rows["smc-1m"]["parity"]),
         "streaming_scan":
             f"{rows['streaming-scan']['gsteps_per_s']:.1f}",
         "streaming_scan_sweep":
