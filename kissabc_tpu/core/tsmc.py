@@ -119,43 +119,57 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         dlam = 0.5 * (lo + hi)
         return jnp.where(ess_at(full) >= target, full, dlam)
 
+    # tempered red/black rejuvenation with the r5 shard-local halves
+    # layout (see core/ais.py make_sweep_halves): the halves are two
+    # separate trees (no slice / dynamic-update-slice), partner rolls go
+    # through roll_walkers ppermutes on a walker mesh, and at large n
+    # the rotation-scheme mixture fuses all per-walker randomness
+    # (incl. the MH accept log-uniform) into one bits call. Gather-path
+    # streams are byte-identical to the sliced r4 layout.
+    roll_mesh = (mesh if mesh is not None
+                 and "chain" not in mesh.axis_names else None)
+
     def rejuvenate(key, thetas, lp, ll, lam):
         """mcmc_steps red/black mixture sweeps targeting pi_lambda."""
         h = n // 2
 
-        def half(key, thetas, lp, ll, lo, hi):
-            upd = tree_map(lambda x: x[lo:hi], thetas)
-            comp = tree_map(
-                lambda x: jnp.concatenate([x[:lo], x[hi:]]), thetas)
+        def half_update(key, upd, lp_u, ll_u, comp):
             kp, kl, ka = jax.random.split(key, 3)
-            props, corr = propose_half(kp, upd, comp, d,
-                                       scheme=partner_scheme)
+            props, corr, lu = propose_half(kp, upd, comp, d,
+                                           scheme=partner_scheme,
+                                           mesh=roll_mesh, accept_lu=True)
             lpp = vlp(props)
             llp = vll(props, kl)
-            old = lp[lo:hi] + lam * ll[lo:hi]
+            old = lp_u + lam * ll_u
             new = jnp.where(jnp.isfinite(lpp), lpp + lam * llp, -jnp.inf)
-            lu = -jax.random.exponential(ka, (hi - lo,), _f32)
+            if lu is None:
+                lu = -jax.random.exponential(ka, lp_u.shape, _f32)
             acc = lu <= (corr + new - old)
             upd = tselect(acc, props, upd)
-            lp_new = jnp.where(acc, lpp, lp[lo:hi])
-            ll_new = jnp.where(acc, llp, ll[lo:hi])
-            thetas = tree_map(
-                lambda full_, part: jax.lax.dynamic_update_slice_in_dim(
-                    full_, part, lo, axis=0), thetas, upd)
-            lp = jax.lax.dynamic_update_slice_in_dim(lp, lp_new, lo, axis=0)
-            ll = jax.lax.dynamic_update_slice_in_dim(ll, ll_new, lo, axis=0)
-            return thetas, lp, ll
+            lp_u = jnp.where(acc, lpp, lp_u)
+            ll_u = jnp.where(acc, llp, ll_u)
+            return upd, lp_u, ll_u
+
+        tha = tree_map(lambda x: x[:h], thetas)
+        thb = tree_map(lambda x: x[h:], thetas)
+        lpa, lpb = lp[:h], lp[h:]
+        lla, llb = ll[:h], ll[h:]
 
         def sweep(c, k):
-            thetas, lp, ll = c
+            (tha, thb), (lpa, lpb), (lla, llb) = c
             k1, k2 = jax.random.split(k)
-            thetas, lp, ll = half(k1, thetas, lp, ll, 0, h)
-            thetas, lp, ll = half(k2, thetas, lp, ll, h, n)
-            return (constrain(thetas), constrain(lp), constrain(ll)), None
+            tha, lpa, lla = half_update(k1, tha, lpa, lla, thb)
+            thb, lpb, llb = half_update(k2, thb, lpb, llb, tha)
+            return (((constrain(tha), constrain(thb)),
+                     (constrain(lpa), constrain(lpb)),
+                     (constrain(lla), constrain(llb))), None)
 
-        (thetas, lp, ll), _ = jax.lax.scan(
-            sweep, (thetas, lp, ll), jax.random.split(key, mcmc_steps))
-        return thetas, lp, ll
+        ((tha, thb), (lpa, lpb), (lla, llb)), _ = jax.lax.scan(
+            sweep, ((tha, thb), (lpa, lpb), (lla, llb)),
+            jax.random.split(key, mcmc_steps))
+        thetas = tree_map(lambda a, b: jnp.concatenate([a, b]), tha, thb)
+        return (thetas, jnp.concatenate([lpa, lpb]),
+                jnp.concatenate([lla, llb]))
 
     def body(state):
         key, thetas, lp, ll, lam, logz, it, _ess = state
