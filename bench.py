@@ -838,19 +838,47 @@ def row_tsmc():
         return ka.tsmc(ka.Normal(0, 1), ll_vec, nparticles=4096,
                        mcmc_steps=5, loglike_vectorized=True, key=key)
 
+    # r5: the fused tempered rejuvenation (one pallas_call per
+    # half-update, runtime-lambda SMEM scalar) on the same oracle
+    c = np.float32(K / 2 * np.log(2 * np.pi))
+
+    def ll_elem(theta):
+        s = 0.0
+        for y in Y:
+            s = s + jnp.square(np.float32(y) - theta)
+        return -0.5 * s - c
+
+    sweepf = ka.make_fused_tempered_sweep(ka.Normal(0, 1), ll_elem)
+
+    def runf(key):
+        return ka.tsmc(ka.Normal(0, 1), ll_vec, nparticles=4096,
+                       mcmc_steps=5, loglike_vectorized=True,
+                       sweep_fused=sweepf, key=key)
+
     run(11)  # warm: compile lands in the persistent cache
     t0 = time.perf_counter()
     res = run(1)
     dt = time.perf_counter() - t0
-    ok = (float(res.lam) == 1.0
-          and abs(res.P.mean() - m_true) < 0.02
-          and abs(res.P.std() - sd_true) < 0.02
-          and abs(res.log_evidence - logz_true) < 0.15)
+    runf(11)
+    t0 = time.perf_counter()
+    resf = runf(1)
+    dtf = time.perf_counter() - t0
+
+    def _ok(r):
+        return (float(r.lam) == 1.0
+                and abs(r.P.mean() - m_true) < 0.02
+                and abs(r.P.std() - sd_true) < 0.02
+                and abs(r.log_evidence - logz_true) < 0.15)
+
     return {"wall_s": dt, "iterations": int(res.iterations),
             "mu": float(res.P.mean()), "mu_truth": m_true,
             "sd": float(res.P.std()), "sd_truth": sd_true,
             "log_evidence": float(res.log_evidence),
-            "logz_truth": logz_true, "ok": bool(ok)}
+            "logz_truth": logz_true,
+            "fused_wall_s": dtf,
+            "fused_log_evidence": float(resf.log_evidence),
+            "fused_ok": bool(_ok(resf)),
+            "ok": bool(_ok(res))}
 
 
 def row_pfilter():
@@ -1065,7 +1093,8 @@ def _group_main(names):
 _STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   "g-and-k": 140.0, "rejection": 110.0,
                   # warm run + timed run back-to-back with no output
-                  "tsmc": 150.0, "pfilter": 150.0, "abcde": 150.0,
+                  # tsmc runs split + fused back-to-back (4 programs)
+                  "tsmc": 200.0, "pfilter": 150.0, "abcde": 150.0,
                   "streaming-scan": 150.0, "ais-fused-generic": 150.0,
                   "smc-fused-generic": 150.0, "smc-1m": 200.0,
                   # a single statistical test can compile+draw silently

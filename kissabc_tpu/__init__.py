@@ -76,9 +76,10 @@ from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
 from .ops.pallas_kernels import (  # noqa: F401
     make_fused_ais_sweep, make_fused_smc_sweep,
+    make_fused_tempered_sweep,
     make_streaming_moment_cost, make_streaming_scan_cost,
     shard_batched_cost,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 from .particles import pcov, pcor  # noqa: F401

@@ -58,7 +58,8 @@ class TSMCResult(NamedTuple):
 def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
          mcmc_steps: int = 3, max_iters: int = 1000,
          partner_scheme: str = "auto", mesh=None,
-         loglike_vectorized: bool = False, key=0) -> TSMCResult:
+         loglike_vectorized: bool = False, sweep_fused=None,
+         key=0) -> TSMCResult:
     """Adaptive tempered SMC.
 
     - ``prior``: any distribution here (incl. ``Factored``).
@@ -72,9 +73,22 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
       evaluates the whole (pushed) batch at once — the hook for
       batched/Pallas likelihood kernels, mirroring ``cost_vectorized``
       on the ABC samplers.
+    - ``sweep_fused``: a one-kernel tempered rejuvenation sweep from
+      ``make_fused_tempered_sweep(prior, loglike_elementwise, ...)`` —
+      replaces the split red/black rejuvenation with one pallas_call
+      per half-update (proposal + prior + loglike + tempered accept
+      in-kernel). Initialization still evaluates ``loglike`` on the
+      XLA path, so both must describe the SAME likelihood.
     """
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
+    if sweep_fused is not None and mesh is not None \
+            and getattr(sweep_fused, "mesh", None) is not mesh:
+        raise ValueError(
+            "tsmc(mesh=...) with sweep_fused needs the sweep built for "
+            "the SAME mesh: make_fused_tempered_sweep(..., mesh=mesh) — "
+            "a single-chip fused sweep cannot run on sharded "
+            "populations")
     n = nparticles
     d = prior.nparams
 
@@ -157,9 +171,13 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
 
         def sweep(c, k):
             (tha, thb), (lpa, lpb), (lla, llb) = c
-            k1, k2 = jax.random.split(k)
-            tha, lpa, lla = half_update(k1, tha, lpa, lla, thb)
-            thb, lpb, llb = half_update(k2, thb, lpb, llb, tha)
+            if sweep_fused is not None:
+                ((tha, thb), ((lpa, lla), (lpb, llb))) = sweep_fused(
+                    k, (tha, thb), ((lpa, lla), (lpb, llb)), lam)
+            else:
+                k1, k2 = jax.random.split(k)
+                tha, lpa, lla = half_update(k1, tha, lpa, lla, thb)
+                thb, lpb, llb = half_update(k2, thb, lpb, llb, tha)
             return (((constrain(tha), constrain(thb)),
                      (constrain(lpa), constrain(lpb)),
                      (constrain(lla), constrain(llb))), None)

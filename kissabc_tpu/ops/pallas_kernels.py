@@ -1113,6 +1113,40 @@ def make_fused_flagship_ais_sweep_onekernel(
     return sweep
 
 
+def _rot_shifts6(key, h):
+    """Six distinct-within-move rotation shifts from one bits call
+    (stretch s1; DE d1 != d2; walk w1, w2, w3 distinct) — the rotation
+    partner law of ``ops.moves`` shared by every fused ensemble
+    kernel."""
+    v = jax.random.bits(key, (6,), jnp.uint32)
+    s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
+    d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
+    d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
+    d2 = d2 + (d2 >= d1)
+    w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
+    w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
+    w2 = w2 + (w2 >= w1)
+    w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
+    lo_ = jnp.minimum(w1, w2)
+    hi_ = jnp.maximum(w1, w2)
+    w3 = w3 + (w3 >= lo_)
+    w3 = w3 + (w3 >= hi_)
+    return (s1, d1, d2, w1, w2, w3)
+
+
+def _partner_rolls(comp_l, shifts, mesh):
+    """Partner arrays, leaf-major x 6 shifts per leaf; with a mesh the
+    rolls go through roll_walkers (shard-sized ppermutes, bit-identical
+    to jnp.roll)."""
+    if mesh is not None:
+        from ..parallel.mesh import roll_walkers
+        per_shift = [roll_walkers(tuple(comp_l), -r, mesh)
+                     for r in shifts]
+        return [per_shift[j][k] for k in range(len(comp_l))
+                for j in range(6)]
+    return [jnp.roll(x, -r) for x in comp_l for r in shifts]
+
+
 def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
                          nmoments: int = 2, stats=None, ndraws: int = 1000,
                          noise: str = "normal", a_stretch: float = 3.0,
@@ -1445,34 +1479,10 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
         return interp
 
     def _shifts(key, h):
-        """Six distinct-within-move rotation shifts from one bits call
-        (stretch s1; DE d1 != d2; walk w1, w2, w3 distinct)."""
-        v = jax.random.bits(key, (6,), jnp.uint32)
-        s1 = (v[0] % np.uint32(h)).astype(jnp.int32)
-        d1 = (v[1] % np.uint32(h)).astype(jnp.int32)
-        d2 = (v[2] % np.uint32(h - 1)).astype(jnp.int32)
-        d2 = d2 + (d2 >= d1)
-        w1 = (v[3] % np.uint32(h)).astype(jnp.int32)
-        w2 = (v[4] % np.uint32(h - 1)).astype(jnp.int32)
-        w2 = w2 + (w2 >= w1)
-        w3 = (v[5] % np.uint32(h - 2)).astype(jnp.int32)
-        lo_ = jnp.minimum(w1, w2)
-        hi_ = jnp.maximum(w1, w2)
-        w3 = w3 + (w3 >= lo_)
-        w3 = w3 + (w3 >= hi_)
-        return (s1, d1, d2, w1, w2, w3)
+        return _rot_shifts6(key, h)
 
     def _parts(comp_l, shifts):
-        """Partner arrays, leaf-major x 6 shifts per leaf; with a mesh
-        the rolls go through roll_walkers (shard-sized ppermutes,
-        bit-identical to jnp.roll)."""
-        if mesh is not None:
-            from ..parallel.mesh import roll_walkers
-            per_shift = [roll_walkers(tuple(comp_l), -r, mesh)
-                         for r in shifts]
-            return [per_shift[j][k] for k in range(len(comp_l))
-                    for j in range(6)]
-        return [jnp.roll(x, -r) for x in comp_l for r in shifts]
+        return _partner_rolls(comp_l, shifts, mesh)
 
     def sweep_halves(key, th, ld):
         """Halves-carry contract (core.ais.make_sweep_halves): th =
@@ -1570,6 +1580,262 @@ def make_fused_ais_sweep(prior, draw, reduce_cost, *, scale,
     out = sweep_halves if halves else sweep
     out.mesh = mesh
     return out
+
+
+def make_fused_tempered_sweep(prior, loglike, *, a_stretch: float = 3.0,
+                              block: int = 1024, walker_tiles: int = 8,
+                              bits: str = "hw",
+                              interpret: bool | None = None, mesh=None):
+    """GENERIC fused TEMPERED rejuvenation sweep: the ``tsmc`` twin of
+    ``make_fused_ais_sweep`` for classical (deterministic-likelihood)
+    Bayesian SMC. One pallas_call per half-update runs, per walker: the
+    4:2:1 stretch/DE/walk mixture proposal (rotation partners via six
+    contiguous rolls of the complementary half), the user prior's
+    logpdf, the user LOG-LIKELIHOOD, and the tempered MH accept
+
+        log alpha = corr + (lp' + lam*ll') - (lp + lam*ll)
+
+    at the RUNTIME temperature ``lam`` (an SMEM scalar — one compiled
+    kernel serves the whole adaptive temperature ladder).
+
+    - ``prior``: a ``Factored`` of SCALAR marginals (or one scalar
+      distribution); logpdf traced in-kernel like
+      ``make_fused_ais_sweep``.
+    - ``loglike(theta) -> ll``: DETERMINISTIC log-likelihood traced
+      IN-KERNEL on (rows, 128) walker tiles — elementwise jnp math
+      over host-numpy constants. Data enters as host constants: either
+      a Python loop over data points (each a scalar) or precomputed
+      sufficient statistics. No reductions across walkers, no
+      randomness (a stochastic/pseudo-marginal loglike needs the XLA
+      ``loglike_vectorized`` path).
+
+    Returns the halves-carry contract ``sweep(key, (tree_a, tree_b),
+    ((lp_a, ll_a), (lp_b, ll_b)), lam)`` plugging into
+    ``tsmc(..., sweep_fused=...)``; ``lp``/``ll`` are carried RAW
+    (unscaled) so ``lam`` can move between sweeps. ``mesh=`` keeps each
+    half shard-local exactly like ``make_fused_ais_sweep(halves=True,
+    mesh=...)`` (partner rolls via roll_walkers ppermutes, per-shard
+    kernels with folded seeds). TPU-only; ``interpret=True`` +
+    ``bits='stub'`` for golden tests. Statistical parity with the
+    split ``propose_half`` path (different streams), same
+    reference-move laws (``transition.jl:2-59``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if block % 128:
+        raise ValueError(f"block must be a multiple of 128, got {block}")
+    d = prior.nparams
+    exp_one = np.uint32(0x3F800000)
+    sa = math.sqrt(a_stretch)
+    g_lo, g_span = np.float32(1.0 / sa), np.float32(sa - 1.0 / sa)
+    de_scale = np.float32(2.38 / math.sqrt(2 * d))
+    inv300 = np.float32(1.0 / 300.0)
+    third = np.float32(1.0 / 3.0)
+    p_s_hi = np.float32(4.0 / 7.0)
+    p_d_hi = np.float32(6.0 / 7.0)
+    corr_mul = np.float32(d - 1)
+    neg_inf = np.float32(-np.inf)
+    npairs = -(-(d + 4) // 2)  # gamma + d jitter + 3 walk normals
+
+    def half_call(theta_l, lp, ll, parts_l, lam, seed, treedef, h,
+                  interp):
+        npad, wt = _plan_tiles(h, block, walker_tiles)
+        sb_rows = wt * block
+        TR = sb_rows // 128
+        K = len(theta_l)
+        if not interp and sb_rows % 1024:
+            raise ValueError(
+                f"walker_tiles*block = {sb_rows} must be a multiple of "
+                "1024 on TPU hardware (Mosaic sublane-tile alignment)")
+
+        def rbits(pid, seed, ctr, shape):
+            if bits == "hw":
+                return pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                     jnp.uint32)
+            return _stub_bits(pid, seed, ctr, shape)
+
+        def to_unit(b):
+            return pltpu.bitcast((b >> 9) | exp_one, jnp.float32) - 1.0
+
+        def kernel(seed_ref, lam_ref, *refs):
+            th_refs = refs[:K]
+            lp_ref, ll_ref = refs[K], refs[K + 1]
+            part_refs = refs[K + 2:7 * K + 2]
+            out_refs = refs[7 * K + 2:8 * K + 4]
+            pid = pl.program_id(0)
+            if bits == "hw":
+                pltpu.prng_seed(seed_ref[0] + pid)
+            tile = (TR, 128)
+
+            def normal_pair(c1, c2):
+                ua = to_unit(rbits(pid, seed_ref[0], c1, tile))
+                ub = to_unit(rbits(pid, seed_ref[0], c2, tile))
+                rr_ = jnp.sqrt(-2.0 * jnp.log1p(-ua))
+                cv, sv = _sincos_2pi(ub)
+                return rr_ * cv, rr_ * sv
+
+            # proposal phase — identical mixture + stub counter layout
+            # as make_fused_ais_sweep (streams differ by seed)
+            u_mid = to_unit(rbits(pid, seed_ref[0], 50_000, tile))
+            u_z = to_unit(rbits(pid, seed_ref[0], 50_001, tile))
+            u_acc = to_unit(rbits(pid, seed_ref[0], 50_002, tile))
+            norms = []
+            for q in range(npairs):
+                norms.extend(normal_pair(50_003 + 2 * q, 50_004 + 2 * q))
+            gam_n, nzs = norms[0], norms[1:1 + d]
+            r1, r2, r3 = norms[1 + d:4 + d]
+
+            is_s = u_mid < p_s_hi
+            is_d = (u_mid >= p_s_hi) & (u_mid < p_d_hi)
+            zroot = u_z * g_span + g_lo
+            z = zroot * zroot
+            corr = jnp.where(is_s, corr_mul * 2.0 * jnp.log(zroot),
+                             np.float32(0.0))
+            gamma = de_scale * jnp.exp(np.float32(0.1) * gam_n)
+
+            props = []
+            for k in range(K):
+                xi = th_refs[k][:]
+                pa = part_refs[6 * k][:]
+                da = part_refs[6 * k + 1][:]
+                db = part_refs[6 * k + 2][:]
+                wa = part_refs[6 * k + 3][:]
+                wb = part_refs[6 * k + 4][:]
+                wc = part_refs[6 * k + 5][:]
+                p_s = pa + z * (xi - pa)
+                tri = (jnp.abs(da - db) + jnp.abs(xi - db)
+                       + jnp.abs(da - xi))
+                p_d = xi + gamma * (da - db) + gamma * tri * inv300 \
+                    * nzs[k]
+                cen = (wa + wb + wc) * third
+                p_w = xi + (r1 * (wa - cen) + r2 * (wb - cen)
+                            + r3 * (wc - cen))
+                props.append(jnp.where(is_s, p_s,
+                                       jnp.where(is_d, p_d, p_w)))
+
+            # push policy in-kernel: pushed tree feeds prior + loglike,
+            # committed walker stays the raw float (transition.jl:77)
+            ptree = jax.tree_util.tree_unflatten(treedef, props)
+            pushed = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32),
+                prior.push_tree(ptree))
+            lpp = jnp.asarray(prior.logpdf_tree(pushed), jnp.float32)
+            llp = jnp.asarray(loglike(pushed), jnp.float32)
+            valid = lpp > neg_inf
+
+            # tempered MH accept (core/tsmc.py rejuvenate law)
+            lam = lam_ref[0]
+            lp_old = lp_ref[:]
+            ll_old = ll_ref[:]
+            new = jnp.where(valid, lpp + lam * llp, neg_inf)
+            lw = corr + new - (lp_old + lam * ll_old)
+            acc = valid & (jnp.log1p(-u_acc) <= lw)
+            for k in range(K):
+                out_refs[k][:] = jnp.where(acc, props[k],
+                                           th_refs[k][:])
+            out_refs[K][:] = jnp.where(acc, lpp, lp_old)
+            out_refs[K + 1][:] = jnp.where(acc, llp, ll_old)
+
+        R = npad // 128
+        spec = pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+        def pad(x, cv=0.0):
+            return jnp.pad(x, (0, npad - h),
+                           constant_values=np.float32(cv)).reshape(R, 128)
+
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(npad // sb_rows,),
+            in_specs=[smem, smem] + [spec] * (7 * K + 2),
+            out_specs=[spec] * (K + 2),
+            out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)]
+            * (K + 2),
+            interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024) if not interp
+            else None,
+        )(jnp.asarray(seed, jnp.uint32).reshape(1),
+          jnp.asarray(lam, jnp.float32).reshape(1),
+          *[pad(x) for x in theta_l],
+          # +inf lp padding: padded walkers never commit
+          pad(lp, np.inf), pad(ll),
+          *[pad(p) for p in parts_l])
+        return tuple(o.reshape(npad)[:h] for o in outs)
+
+    def sweep(key, th, ld, lam):
+        """Halves-carry tempered sweep: th = (tree_a, tree_b) with [h]
+        leaves, ld = ((lp_a, ll_a), (lp_b, ll_b)), lam the current
+        temperature (traced f32 scalar)."""
+        tha_l, treedef = jax.tree_util.tree_flatten(th[0])
+        thb_l = jax.tree_util.tree_leaves(th[1])
+        tha_l = [jnp.asarray(x, jnp.float32) for x in tha_l]
+        thb_l = [jnp.asarray(x, jnp.float32) for x in thb_l]
+        if any(x.ndim != 1 for x in tha_l):
+            raise ValueError(
+                "make_fused_tempered_sweep expects per-walker scalar "
+                "parameters ([h] leaves); got half-A shapes "
+                f"{[x.shape for x in tha_l]}")
+        if len(tha_l) != d:
+            raise ValueError(
+                f"prior has {d} scalar marginals but thetas has "
+                f"{len(tha_l)} leaves")
+        (lpa, lla), (lpb, llb) = ld
+        h = tha_l[0].shape[0]
+        if h < 3:
+            raise ValueError("need at least 6 walkers")
+        interp = (not _on_tpu()) if interpret is None else interpret
+        if interp and interpret is None:
+            raise RuntimeError(
+                "make_fused_tempered_sweep is the TPU fast path; "
+                "off-TPU use tsmc's split rejuvenation (or pass "
+                "interpret=True explicitly for golden tests)")
+        ndev = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get("walker", 1) if mesh is not None else 1)
+        if ndev > 1 and h % ndev:
+            raise ValueError(
+                f"half size {h} must divide the mesh walker axis "
+                f"({ndev} devices)")
+
+        def half_update(key, upd_l, lp, ll, comp_l):
+            kp, ks = jax.random.split(key)
+            parts = _partner_rolls(comp_l, _rot_shifts6(kp, h), mesh)
+            seed = jax.random.bits(ks, (), jnp.uint32)
+            if ndev <= 1:
+                outs = half_call(upd_l, lp, ll, parts, lam, seed,
+                                 treedef, h, interp)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                def local(seed, lam, th_l, lp, ll, parts):
+                    idx = jax.lax.axis_index("walker") \
+                        .astype(jnp.uint32)
+                    lseed = seed + (idx + jnp.uint32(1)) \
+                        * jnp.uint32(1 << 20)
+                    return half_call(list(th_l), lp, ll, list(parts),
+                                     lam, lseed, treedef, h // ndev,
+                                     interp)
+
+                outs = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(), P("walker"), P("walker"),
+                              P("walker"), P("walker")),
+                    out_specs=(P("walker"),) * (d + 2),
+                    check_vma=False)(
+                    seed, jnp.asarray(lam, jnp.float32), tuple(upd_l),
+                    lp, ll, tuple(parts))
+            return list(outs[:d]), outs[d], outs[d + 1]
+
+        ka_, kb_ = jax.random.split(key)
+        tha_l, lpa, lla = half_update(ka_, tha_l, lpa, lla, thb_l)
+        thb_l, lpb, llb = half_update(kb_, thb_l, lpb, llb, tha_l)
+        return ((jax.tree_util.tree_unflatten(treedef, tha_l),
+                 jax.tree_util.tree_unflatten(treedef, thb_l)),
+                ((lpa, lla), (lpb, llb)))
+
+    sweep.mesh = mesh
+    return sweep
 
 
 def make_fused_smc_sweep(prior, draw, reduce_cost, *,

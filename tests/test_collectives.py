@@ -503,3 +503,53 @@ def test_fused_ais_sweep_sharded_collectives():
     for k, b in ops:
         if k == "all-reduce":
             assert b <= 64, (k, b)
+
+
+def test_fused_tempered_sweep_sharded_collectives():
+    """The r5 sharded FUSED tempered sweep (make_fused_tempered_sweep
+    (mesh=...), tsmc's rejuvenation kernel): per-shard kernels under
+    shard_map; cross-chip traffic = the 12 partner rolls per sweep as
+    roll_walkers ppermutes, every one HALF-shard-sized — no
+    all-gather/all-to-all, no all-reduce at all (the tempered sweep
+    carries no accept counter)."""
+    _require_devices(8)
+    import kissabc_tpu as ka
+
+    ndev, n = 8, 1024
+    h = n // 2
+    mesh = make_mesh(walker=ndev)
+    prior = ka.Factored(ka.Normal(0, 1), ka.Normal(0, 1))
+    ys = np.array([1.2, 0.8, 1.5], np.float32)
+
+    def ll_elem(th):
+        a, b = th
+        s = 0.0
+        for y in ys:
+            s = s + jnp.square(np.float32(y) - a) \
+                + jnp.square(np.float32(y) - b)
+        return -0.5 * s
+
+    sweep = ka.make_fused_tempered_sweep(
+        prior, ll_elem, block=128, walker_tiles=1, bits="stub",
+        interpret=True, mesh=mesh)
+    key = jax.random.key(0)
+    th = jax.vmap(lambda k: prior.sample_tree(k))(
+        jax.random.split(key, n))
+    lp = jax.vmap(prior.logpdf_tree)(th)
+    ll = jax.vmap(ll_elem)(th)
+    halves = lambda x: (jax.tree_util.tree_map(lambda v: v[:h], x),
+                        jax.tree_util.tree_map(lambda v: v[h:], x))
+    tha, thb = halves(th)
+    (lpa, lla), (lpb, llb) = halves((lp, ll))
+    txt = jax.jit(sweep).lower(
+        key, (tha, thb), ((lpa, lla), (lpb, llb)),
+        jnp.float32(0.5)).compile().as_text()
+    ops = _collective_ops(txt)
+    kinds = {k for k, _ in ops}
+    assert "all-gather" not in kinds, ops
+    assert "all-to-all" not in kinds, ops
+    assert "all-reduce" not in kinds, ops
+    shard_bytes = h // ndev * 4
+    perms = [b for k, b in ops if k == "collective-permute"]
+    assert perms and all(b == shard_bytes for b in perms), perms
+    assert len(perms) == 12 * (ndev + 1) * 2, (len(perms), perms)

@@ -1049,3 +1049,182 @@ def test_fused_ais_halves_contract_and_sharded_mesh():
     with pytest.raises(ValueError, match="halves=True"):
         ka.make_fused_ais_sweep(prior, draw, rc, scale=0.5,
                                 mesh=mesh)
+
+
+class TestFusedTemperedSweep:
+    """make_fused_tempered_sweep (r5): one-kernel tempered rejuvenation
+    for tsmc — mixture proposal + prior logpdf + DETERMINISTIC loglike
+    + tempered MH accept in one pallas_call per half-update, at a
+    RUNTIME temperature lambda (SMEM scalar). Conjugate-normal ground
+    truth for posterior moments and evidence (tests/test_tsmc.py's
+    oracle)."""
+
+    Y = np.array([1.2, 0.8, 1.5, 0.9, 1.1, 1.3, 0.7, 1.0], np.float32)
+
+    @classmethod
+    def _loglikes(cls):
+        Y, K = cls.Y, len(cls.Y)
+        c = np.float32(K / 2 * np.log(2 * np.pi))
+
+        def ll_elem(theta):
+            # in-kernel contract: elementwise over walker tiles, data
+            # as host constants
+            s = 0.0
+            for y in Y:
+                s = s + jnp.square(np.float32(y) - theta)
+            return -0.5 * s - c
+
+        def ll_xla(theta):
+            return -0.5 * jnp.sum((Y - theta) ** 2) \
+                - K / 2 * np.log(2 * np.pi)
+
+        return ll_elem, ll_xla
+
+    @classmethod
+    def _truth(cls):
+        import scipy.stats as st
+        Y, K = cls.Y, len(cls.Y)
+        cov = np.eye(K) + np.ones((K, K))
+        return (Y.sum() / (K + 1), 1.0 / np.sqrt(K + 1),
+                st.multivariate_normal(np.zeros(K), cov).logpdf(Y))
+
+    def test_validation(self):
+        import kissabc_tpu as ka
+
+        ll_elem, _ = self._loglikes()
+        prior = ka.Normal(0, 1)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            ka.make_fused_tempered_sweep(prior, ll_elem, block=100)
+        sweep = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        key = jax.random.key(0)
+        th = jax.random.normal(key, (128,), jnp.float32)
+        lp, ll = -0.5 * th * th, ll_elem(th)
+        state = ((th[:2], th[2:4]), ((lp[:2], ll[:2]),
+                                     (lp[2:4], ll[2:4])))
+        with pytest.raises(ValueError, match="at least 6"):
+            sweep(key, state[0], state[1], 0.5)
+        with pytest.raises(ValueError, match="leaves"):
+            sweep(key, ((th[:64], th[:64]), (th[64:], th[64:])),
+                  ((lp[:64], ll[:64]), (lp[64:], ll[64:])), 0.5)
+        if not ON_TPU:
+            auto = ka.make_fused_tempered_sweep(prior, ll_elem)
+            with pytest.raises(RuntimeError, match="TPU fast path"):
+                auto(key, (th[:64], th[64:]),
+                     ((lp[:64], ll[:64]), (lp[64:], ll[64:])), 0.5)
+
+    def test_interpret_determinism_and_movement(self):
+        """Same key -> bit-identical halves; walkers move; lp/ll carry
+        stays consistent with the committed walkers (raw, unscaled)."""
+        import kissabc_tpu as ka
+
+        ll_elem, _ = self._loglikes()
+        prior = ka.Normal(0, 1)
+        sweep = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        key = jax.random.key(3)
+        n, h = 256, 128
+        th = jax.random.normal(key, (n,), jnp.float32)
+        lp = jax.vmap(prior.logpdf)(th)
+        ll = ll_elem(th)
+        state = ((th[:h], th[h:]), ((lp[:h], ll[:h]),
+                                    (lp[h:], ll[h:])))
+        lam = jnp.float32(0.7)
+        (ta1, tb1), ((lpa1, lla1), (lpb1, llb1)) = sweep(
+            key, state[0], state[1], lam)
+        (ta2, _), _ = sweep(key, state[0], state[1], lam)
+        np.testing.assert_array_equal(np.asarray(ta1), np.asarray(ta2))
+        moved = (np.asarray(ta1) != np.asarray(th[:h]))
+        assert 0.05 < moved.mean() <= 1.0
+        # carried lp/ll equal the recomputed values on the committed
+        # walkers (raw floats feed the densities for a continuous
+        # prior)
+        np.testing.assert_allclose(np.asarray(lla1),
+                                   np.asarray(ll_elem(ta1)),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(lpa1), np.asarray(jax.vmap(prior.logpdf)(ta1)),
+            rtol=2e-5, atol=2e-5)
+
+    def test_tsmc_conjugate_interpret(self):
+        """Full PRODUCTION tsmc with the fused tempered sweep
+        (interpret + stub off-TPU) hits the conjugate-normal posterior
+        + evidence oracle."""
+        import kissabc_tpu as ka
+
+        ll_elem, ll_xla = self._loglikes()
+        prior = ka.Normal(0, 1)
+        sweep = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        res = ka.tsmc(prior, ll_xla, nparticles=2048, mcmc_steps=5,
+                      sweep_fused=sweep, key=1)
+        m, sd, logz = self._truth()
+        assert res.lam == 1.0
+        assert abs(res.P.mean() - m) < 0.03
+        assert abs(res.P.std() - sd) < 0.03
+        assert abs(res.log_evidence - logz) < 0.2
+
+    def test_sharded_mesh_and_guard(self):
+        """2-D Factored prior through the sharded fused tempered sweep
+        on the 8-virtual-device CPU mesh; mesh-mismatch rejected."""
+        import kissabc_tpu as ka
+        from kissabc_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        Y, K = self.Y, len(self.Y)
+
+        def ll_elem(theta):
+            a, b = theta
+            s = 0.0
+            for y in Y:
+                s = s + jnp.square(np.float32(y) - a)
+            s2 = 0.0
+            for y in Y[:4]:
+                s2 = s2 + jnp.square(np.float32(y) - b)
+            return -0.5 * s - 0.5 * s2
+
+        def ll_xla(theta):
+            a, b = theta
+            return (-0.5 * jnp.sum((Y - a) ** 2)
+                    - 0.5 * jnp.sum((Y[:4] - b) ** 2))
+
+        prior = ka.Factored(ka.Normal(0, 1), ka.Normal(0, 1))
+        mesh = make_mesh(walker=8)
+        swm = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True, mesh=mesh)
+        res = ka.tsmc(prior, ll_xla, nparticles=2048, mcmc_steps=5,
+                      sweep_fused=swm, mesh=mesh, key=2)
+        a_post, b_post = res.P
+        assert abs(a_post.mean() - Y.sum() / (K + 1)) < 0.05
+        assert abs(b_post.mean() - Y[:4].sum() / 5) < 0.05
+        single = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        with pytest.raises(ValueError, match="SAME mesh"):
+            ka.tsmc(prior, ll_xla, nparticles=2048, sweep_fused=single,
+                    mesh=mesh, key=1)
+
+    @pytest.mark.tpu_hw
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_tsmc_conjugate_on_tpu(self):
+        """PRODUCTION tsmc through the hw fused tempered kernel vs the
+        split path: both hit the conjugate oracle."""
+        import kissabc_tpu as ka
+
+        ll_elem, ll_xla = self._loglikes()
+        prior = ka.Normal(0, 1)
+        sweep = ka.make_fused_tempered_sweep(prior, ll_elem)
+        a = ka.tsmc(prior, ll_xla, nparticles=8192, mcmc_steps=5,
+                    sweep_fused=sweep, key=1)
+        b = ka.tsmc(prior, ll_xla, nparticles=8192, mcmc_steps=5, key=1)
+        m, sd, logz = self._truth()
+        for res in (a, b):
+            assert res.lam == 1.0
+            assert abs(res.P.mean() - m) < 0.02
+            assert abs(res.P.std() - sd) < 0.02
+            assert abs(res.log_evidence - logz) < 0.15

@@ -154,6 +154,12 @@ def values(rows):
         "tsmc_logz": f"{tsmc['log_evidence']:.3f}",
         "tsmc_logz_truth": f"{tsmc['logz_truth']:.3f}",
         "tsmc_ok": _ok(tsmc["ok"]),
+        # pre-r5c rows lack the fused fields; render as pending until
+        # the next full capture merges them
+        "tsmc_fused_wall": (_s(tsmc["fused_wall_s"])
+                            if "fused_wall_s" in tsmc else "—"),
+        "tsmc_fused_ok": _ok(tsmc.get("fused_ok", False))
+        if "fused_ok" in tsmc else "(pending)",
         "pfilter_wall": _s(pf["wall_s"]),
         "pfilter_eps": f"{pf['eps']:.3f}",
         "pfilter_ok": _ok(pf["ok"]),
