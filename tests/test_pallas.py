@@ -1228,3 +1228,68 @@ class TestFusedTemperedSweep:
             assert abs(res.P.mean() - m) < 0.02
             assert abs(res.P.std() - sd) < 0.02
             assert abs(res.log_evidence - logz) < 0.15
+
+    def test_bounded_prior_invalid_proposals_rejected(self):
+        """With a bounded (Uniform) prior, proposals outside the
+        support must never commit (the valid = lpp > -inf mask): all
+        committed walkers stay in-support with finite carried lp."""
+        import kissabc_tpu as ka
+
+        Y, K = self.Y, len(self.Y)
+
+        def ll_elem(theta):
+            s = 0.0
+            for y in Y:
+                s = s + jnp.square(np.float32(y) - theta)
+            return -0.5 * s
+
+        prior = ka.Uniform(0.5, 1.5)
+        sweep = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        key = jax.random.key(5)
+        n, h = 256, 128
+        th = jax.random.uniform(key, (n,), jnp.float32, 0.5, 1.5)
+        lp = jax.vmap(prior.logpdf)(th)
+        ll = ll_elem(th)
+        state = ((th[:h], th[h:]), ((lp[:h], ll[:h]),
+                                    (lp[h:], ll[h:])))
+        lam = jnp.float32(0.3)
+        for i in range(5):
+            state = sweep(jax.random.fold_in(key, i), state[0],
+                          state[1], lam)
+        for half, (lph, _) in zip(state[0], state[1]):
+            vals = np.asarray(half)
+            assert ((vals >= 0.5) & (vals <= 1.5)).all(), vals
+            assert np.isfinite(np.asarray(lph)).all()
+
+    def test_mixed_discrete_prior_push_in_kernel(self):
+        """Factored(continuous, discrete) through the tempered kernel:
+        the push policy rounds the discrete marginal BEFORE prior and
+        loglike see it (in-kernel), while the committed walker keeps
+        the float shadow — tsmc's pushed output is integral."""
+        import kissabc_tpu as ka
+
+        prior = ka.Factored(ka.Normal(1.0, 1.0),
+                            ka.DiscreteUniform(1, 6))
+
+        def ll_elem(theta):
+            a, k = theta  # k arrives pushed (integral f32)
+            return (-0.5 * jnp.square(a - np.float32(1.2))
+                    - 0.5 * jnp.square(k - np.float32(3.0)))
+
+        def ll_xla(theta):
+            a, k = theta
+            return (-0.5 * jnp.square(a - 1.2)
+                    - 0.5 * jnp.square(k - 3.0))
+
+        sweep = ka.make_fused_tempered_sweep(
+            prior, ll_elem, block=128, walker_tiles=2, bits="stub",
+            interpret=True)
+        res = ka.tsmc(prior, ll_xla, nparticles=1024, mcmc_steps=4,
+                      sweep_fused=sweep, key=4)
+        a_post, k_post = res.P
+        kv = np.asarray(k_post.particles, np.float64)
+        assert np.allclose(kv, np.round(kv)), kv[:8]
+        assert 1.0 <= kv.min() and kv.max() <= 6.0
+        assert abs(a_post.mean() - 1.1) < 0.15
