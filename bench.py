@@ -936,9 +936,60 @@ def row_abcde():
     dt = time.perf_counter() - t0
     m = float(res.P.mean())
     ok = bool(res.reached_eps) and abs(m - np.sqrt(0.5)) < 0.02
+
+    # r5: fused-generation throughput (make_fused_abcde_generation) vs
+    # the split path on the flagship streaming model at production n —
+    # fixed generation count (unreachable eps), walker-updates/s
+    prior = ka.Factored(ka.Uniform(1, 3),
+                        ka.TruncatedNormal(0, 0.05, 0, 100))
+
+    def draw(th, eps):
+        return th[0] + th[1] * eps
+
+    def rc(th, mm):
+        var = jnp.maximum(mm[1] - mm[0] * mm[0], 0.0)
+        return jnp.sqrt(jnp.square(mm[0] - 2.0)
+                        + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+    scost = ka.make_streaming_moment_cost(draw, rc, ndraws=1000)
+    gamma = float(2.38 / np.sqrt(4.0))
+    gen = ka.make_fused_abcde_generation(prior, draw, rc, gamma=gamma,
+                                         ndraws=1000)
+    nb = 16384
+
+    def run2(key, fused, gens):
+        return ka.ABCDE(prior, scost, 1e-6, nparticles=nb,
+                        generations=gens, cost_vectorized=True,
+                        sweep_fused=(gen if fused else None),
+                        verbose=False, key=key)
+
+    # MARGINAL generation cost (diff of two generation counts): each
+    # ABCDE call re-traces its program (~1 s fixed), so an end-to-end
+    # ratio would mostly measure retrace, not device work. 500-gen
+    # spread: at ~0.6 ms/gen the signal (~0.3 s) must clear the ~0.1 s
+    # retrace jitter
+    # median-of-3 per (path, gens): single-shot diffs read up to 2x off
+    # (retrace jitter ~0.1 s vs a ~0.3 s signal)
+    out = {}
+    for label, fused in (("fused", True), ("split", False)):
+        times = {}
+        for gens in (20, 520):
+            run2(12, fused, gens)  # warm (program then cached in-proc)
+            ts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                r2 = run2(2 + rep, fused, gens)
+                ts.append(time.perf_counter() - t0)
+            times[gens] = sorted(ts)[1]
+        marg = (times[520] - times[20]) / 500
+        mu = float(r2.P[0].mean())
+        out[f"{label}_updates_per_s"] = nb / marg
+        out[f"{label}_mu_ok"] = bool(abs(mu - 2.0) < 0.05)
+
     return {"wall_s": dt, "generations": int(res.iterations),
             "nsim": int(res.nsim), "reached_eps": bool(res.reached_eps),
-            "mean": m, "truth": float(np.sqrt(0.5)), "ok": bool(ok)}
+            "mean": m, "truth": float(np.sqrt(0.5)), "ok": bool(ok),
+            **out}
 
 
 def row_pallas_tests(core=False):
@@ -1093,8 +1144,8 @@ def _group_main(names):
 _STALL_WINDOWS = {"warmup": 1e9, "sweep-xla": 110.0,
                   "g-and-k": 140.0, "rejection": 110.0,
                   # warm run + timed run back-to-back with no output
-                  # tsmc runs split + fused back-to-back (4 programs)
-                  "tsmc": 200.0, "pfilter": 150.0, "abcde": 150.0,
+                  # tsmc/abcde run split + fused back-to-back
+                  "tsmc": 200.0, "pfilter": 150.0, "abcde": 200.0,
                   "streaming-scan": 150.0, "ais-fused-generic": 150.0,
                   "smc-fused-generic": 150.0, "smc-1m": 200.0,
                   # a single statistical test can compile+draw silently

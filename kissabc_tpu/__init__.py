@@ -75,8 +75,8 @@ from .utils.logging import IterLog, trace  # noqa: F401
 from .utils.diagnostics import ess, rhat  # noqa: F401
 from .utils.host_sim import host_cost  # noqa: F401
 from .ops.pallas_kernels import (  # noqa: F401
-    make_fused_ais_sweep, make_fused_smc_sweep,
-    make_fused_tempered_sweep,
+    make_fused_abcde_generation, make_fused_ais_sweep,
+    make_fused_smc_sweep, make_fused_tempered_sweep,
     make_streaming_moment_cost, make_streaming_scan_cost,
     shard_batched_cost,
 )

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.tree import tgather, tselect, tree_map
+from ..ops.tree import tselect, tree_map
 from ..particles import Particles, particles_from_tree
 from ..utils.hostfetch import fetch, fetch_tree
 from ..utils.rng import as_key
@@ -46,7 +46,8 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
           generations: int = 20, alpha: float = 0.0, earlystop: bool = False,
           verbose: bool = True, proposal_width: float = 1.0,
           parallel: bool = True, cost_vectorized: bool = False,
-          mesh=None, cost_on: str = "raw", key=0) -> ABCDEResult:
+          mesh=None, cost_on: str = "raw", sweep_fused=None,
+          key=0) -> ABCDEResult:
     """Signature/defaults mirror the reference (smc.jl:347).
     ``cost_vectorized``: cost takes (theta_batch, key). ``mesh``: shard
     the population over a mesh ``walker`` axis.
@@ -55,16 +56,44 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
     particle, exactly the reference's ``cost(θs[i].x)`` / ``cost(θp.x)``
     (smc.jl:358-363,405) — only ``logpdf`` sees the pushed value.
     ``'pushed'`` snaps discrete marginals before the simulator (documented
-    extension; see docs/design.md parity notes and ``pfilter``)."""
+    extension; see docs/design.md parity notes and ``pfilter``).
+
+    ``sweep_fused``: a fused generation from
+    ``make_fused_abcde_generation(prior, draw, reduce_cost,
+    gamma=...)`` — the per-walker downstream of each generation (DE
+    proposal, prior gate, streaming simulator, commit) as ONE
+    pallas_call; the population-global base/partner selection stays
+    here. Its ``gamma`` must equal this call's
+    ``proposal_width * 2.38 / sqrt(2d)`` and its ``cost_on`` must
+    describe the same simulator semantics; init still evaluates
+    ``cost`` on the XLA path."""
     if not (0 <= alpha < 1):
         raise ValueError("alpha must be in 0 <= alpha < 1.")
     if cost_on not in ("raw", "pushed"):
         raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
+    if sweep_fused is not None and mesh is not None \
+            and getattr(sweep_fused, "mesh", None) is not mesh:
+        raise ValueError(
+            "ABCDE(mesh=...) with sweep_fused needs the generation "
+            "built for the SAME mesh: make_fused_abcde_generation(..., "
+            "mesh=mesh) — a single-chip fused generation cannot run on "
+            "sharded populations")
     push_cost = cost_on == "pushed"
     del parallel
     n = nparticles
     d = prior.nparams
+    if n < 3:
+        raise ValueError(
+            f"ABCDE needs >= 3 particles (a DE step draws two partners "
+            f"distinct from the base), got {n}")
     gamma = proposal_width * 2.38 / math.sqrt(2 * d)
+    if sweep_fused is not None:
+        fg = getattr(sweep_fused, "gamma", None)
+        if fg is not None and abs(fg - gamma) > 1e-6 * abs(gamma):
+            raise ValueError(
+                f"sweep_fused was built with gamma={fg:.6g} but this "
+                f"call needs proposal_width*2.38/sqrt(2d) = {gamma:.6g}"
+                " — pass the same gamma to make_fused_abcde_generation")
     cost2 = cost if cost_vectorized else _adapt_cost(cost)
 
     vlog = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
@@ -96,30 +125,62 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         # count_i sorted positions with count_i = rank of ds[i] (right).
         order = jnp.argsort(ds, stable=True)
         ds_sorted = ds[order]
-        count = jnp.searchsorted(ds_sorted, ds, side="right").astype(jnp.int32)
-        u = jax.vmap(
-            lambda k, c: jax.random.randint(k, (), 0, c, dtype=jnp.int32)
-        )(jax.random.split(kb, n), jnp.maximum(count, 1))
+        # count[i] = #{j : ds[j] <= ds[i]} == searchsorted(ds_sorted,
+        # ds, 'right'), but computed WITHOUT searchsorted: its binary
+        # search lowers to a 15-iteration while loop of full-population
+        # gathers (~1.75 ms/gen at n=16k — profiled as 60% of the
+        # generation). In sorted space the count at position k is
+        # (last index of k's tied run) + 1: mark run ends, suffix-min
+        # the run-end positions (one cummin), scatter back through
+        # `order` — one scatter instead of 15 gathers.
+        karr = jnp.arange(n, dtype=jnp.int32)
+        run_end = jnp.concatenate(
+            [ds_sorted[1:] != ds_sorted[:-1], jnp.ones((1,), bool)])
+        cand = jnp.where(run_end, karr, n - 1)
+        last = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
+        count = jnp.zeros((n,), jnp.int32).at[order].set(last + 1)
+        # ONE bits call for all per-walker index randomness (base pick +
+        # two DE partners) — modulo draws, randint's bias class; the
+        # per-walker split+randint constructions cost ~0.3 ms each at
+        # n=16k and were ~25% of the generation (same documented
+        # stream-change policy as ops/moves.py's rotation mixture)
+        v = jax.random.bits(kb, (3, n), jnp.uint32)
+        u = (v[0] % jnp.maximum(count, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
         s_rand = order[u]
         s = jnp.where(ds > eps_i, s_rand, idx)
 
         # DE partners a != s, b != a,s from the full range (smc.jl:392-399)
-        def partners(k1, k2, si):
-            a = jax.random.randint(k1, (), 0, n - 1, dtype=jnp.int32)
-            a = a + (a >= si)
-            b = jax.random.randint(k2, (), 0, n - 2, dtype=jnp.int32)
-            lo = jnp.minimum(a, si)
-            hi = jnp.maximum(a, si)
-            b = b + (b >= lo)
-            b = b + (b >= hi)
-            return a, b
+        aa = (v[1] % jnp.uint32(n - 1)).astype(jnp.int32)
+        aa = aa + (aa >= s)
+        bb = (v[2] % jnp.uint32(n - 2)).astype(jnp.int32)
+        lo = jnp.minimum(aa, s)
+        hi = jnp.maximum(aa, s)
+        bb = bb + (bb >= lo)
+        bb = bb + (bb >= hi)
+        del ka2, kb2
 
-        aa, bb = jax.vmap(partners)(
-            jax.random.split(ka2, n), jax.random.split(kb2, n), s)
+        # ONE stacked gather for all three partner pulls: each separate
+        # [n] gather costs ~116 us of latency at n=16k regardless of
+        # size (profiled), so 3 pulls x K leaves as one [K, 3n] gather
+        # collapses 3K latency walls into one
+        th_leaves, th_def = jax.tree_util.tree_flatten(thetas)
+        stack = jnp.stack(th_leaves)
+        g3 = jnp.take(stack, jnp.concatenate([s, aa, bb]), axis=1)
+        unfl = jax.tree_util.tree_unflatten
+        ts = unfl(th_def, list(g3[:, :n]))
+        ta = unfl(th_def, list(g3[:, n:2 * n]))
+        tb = unfl(th_def, list(g3[:, 2 * n:]))
 
-        ts = tgather(thetas, s)
-        ta = tgather(thetas, aa)
-        tb = tgather(thetas, bb)
+        if sweep_fused is not None:
+            # fused per-walker downstream: proposal + prior gate +
+            # simulator + commit in one pallas_call (the gathers above
+            # stay in XLA — they are the population-global part)
+            thetas, lps, ds, gate = sweep_fused(
+                kc, thetas, (ts, ta, tb), lps, ds, active, eps_i)
+            nsims = nsims + gate.astype(jnp.int32)
+            return thetas, lps, ds, nsims
+
         props = tree_map(
             lambda xs_, xa, xb: xs_ + gamma * (xa - xb), ts, ta, tb)
 

@@ -1838,6 +1838,324 @@ def make_fused_tempered_sweep(prior, loglike, *, a_stretch: float = 3.0,
     return sweep
 
 
+def make_fused_abcde_generation(prior, draw, reduce_cost, *,
+                                gamma: float, nmoments: int = 2,
+                                stats=None, ndraws: int = 1000,
+                                noise: str = "normal", cost_on: str = "raw",
+                                block: int = 1024, chunk: int = 512,
+                                walker_tiles: int = 8, bits: str = "hw",
+                                interpret: bool | None = None,
+                                mesh=None):
+    """GENERIC fused ABCDE generation: the differential-evolution twin
+    of ``make_fused_smc_sweep`` — completes the fused tier across all
+    four ensemble samplers (smc / AIS / tsmc / ABCDE).
+
+    The population-GLOBAL parts of an ABCDE generation (annealed
+    ``eps_pop``, the rank-trick not-worse base draw, the DE partner
+    draws, and the three index gathers, ``smc.jl:388-399``) stay in
+    XLA — they are gather-bound and cannot live in an elementwise
+    kernel. Everything per-walker downstream fuses into ONE
+    pallas_call: the DE proposal ``theta_s + gamma*(theta_a -
+    theta_b)`` (``smc.jl:400``), the push policy + prior logpdf, the
+    cheap prior-MH gate BEFORE the simulator (``smc.jl:401-403``,
+    evaluated branch-free like the fused smc sweep), the user's
+    streaming simulator, and the ``cost <= max(eps_i, ds)`` commit
+    (``smc.jl:406``).
+
+    Contract (plugs into ``ABCDE(..., sweep_fused=...)``):
+
+        gen(key, thetas, (ts, ta, tb), lps, ds, active, eps_i)
+            -> (thetas, lps, ds, gate)
+
+    with ``ts``/``ta``/``tb`` the pre-gathered base/partner trees,
+    ``active`` the earlystop mask, ``eps_i`` the per-walker annealed
+    threshold, and ``gate`` the prior-gate mask (float 0/1 — the
+    reference's ``nsims`` tally counts simulator calls,
+    ``smc.jl:404``). ``cost_on='raw'`` (default) feeds the simulator
+    the RAW float proposal exactly like the split path (only logpdf is
+    pushed); ``'pushed'`` snaps first. ``mesh=``: the kernel runs
+    per-shard under ``shard_map`` with per-shard-folded seeds (the
+    gathers before it already moved any cross-shard data, so the fused
+    generation adds no collectives of its own). TPU-only;
+    ``interpret=True`` + ``bits='stub'`` for golden tests."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if stats is not None:
+        stats = tuple(stats)
+        if not 1 <= len(stats) <= 16:
+            raise ValueError(f"stats must have 1..16 entries, "
+                             f"got {len(stats)}")
+        nstats = len(stats)
+    else:
+        if nmoments < 1 or nmoments > 8:
+            raise ValueError(f"nmoments must be in [1, 8], got {nmoments}")
+        nstats = nmoments
+    if noise not in ("normal", "uniform"):
+        raise ValueError(f"noise must be 'normal' or 'uniform', "
+                         f"got {noise!r}")
+    if cost_on not in ("raw", "pushed"):
+        raise ValueError(f"cost_on must be 'raw' or 'pushed', "
+                         f"got {cost_on!r}")
+    if block % 128:
+        raise ValueError(f"block must be a multiple of 128, got {block}")
+    d = prior.nparams
+    nchunks = -(-ndraws // (2 * chunk))
+    exp_one = np.uint32(0x3F800000)
+    inv_n = np.float32(1.0 / ndraws)
+    gam = np.float32(gamma)
+    neg_inf = np.float32(-np.inf)
+    push_cost = cost_on == "pushed"
+
+    def full_call(th_l, ts_l, ta_l, tb_l, lps, ds, active, eps_i,
+                  seed, treedef, n, interp):
+        npad, wt = _plan_tiles(n, block, walker_tiles)
+        sb_rows = wt * block
+        TR = sb_rows // 128
+        K = len(th_l)
+        if not interp and sb_rows % 1024:
+            raise ValueError(
+                f"walker_tiles*block = {sb_rows} must be a multiple of "
+                "1024 on TPU hardware (Mosaic sublane-tile alignment)")
+
+        def rbits(pid, seed, ctr, shape):
+            if bits == "hw":
+                return pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                     jnp.uint32)
+            return _stub_bits(pid, seed, ctr, shape)
+
+        def to_unit(b):
+            return pltpu.bitcast((b >> 9) | exp_one, jnp.float32) - 1.0
+
+        def kernel(seed_ref, *refs):
+            th_refs = refs[:K]
+            ts_refs = refs[K:2 * K]
+            ta_refs = refs[2 * K:3 * K]
+            tb_refs = refs[3 * K:4 * K]
+            lps_ref, ds_ref, act_ref, eps_ref = refs[4 * K:4 * K + 4]
+            out_refs = refs[4 * K + 4:5 * K + 7]  # K th + lps,ds,gate
+            scr = refs[5 * K + 7:]
+            prop_refs, cost_ref = scr[:K], scr[K]
+            pid = pl.program_id(0)
+            if bits == "hw":
+                pltpu.prng_seed(seed_ref[0] + pid)
+            tile = (TR, 128)
+
+            # per-walker randomness: the prior-gate MH log-uniform
+            u1 = to_unit(rbits(pid, seed_ref[0], 40_000, tile))
+            lprob = jnp.log1p(-u1)
+
+            props = []
+            for k in range(K):
+                props.append(ts_refs[k][:]
+                             + gam * (ta_refs[k][:] - tb_refs[k][:]))
+
+            # push policy: logpdf always sees the pushed tree; the
+            # simulator sees raw (reference ABCDE, smc.jl:405) or
+            # pushed per cost_on; the committed walker stays raw
+            ptree = jax.tree_util.tree_unflatten(treedef, props)
+            pushed = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32),
+                prior.push_tree(ptree))
+            sim_l = (jax.tree_util.tree_leaves(pushed) if push_cost
+                     else props)
+            for k, pl_ in enumerate(sim_l):
+                prop_refs[k][:] = pl_
+            lpp = jnp.asarray(prior.logpdf_tree(pushed), jnp.float32)
+            lps_old = lps_ref[:]
+            active = act_ref[:] > np.float32(0.5)
+            # prior-MH gate before the costly simulator (smc.jl:401-403)
+            gate = active & (lprob <= jnp.minimum(lpp - lps_old,
+                                                  np.float32(0.0)))
+
+            # simulator (walker rows on lanes; see make_fused_ais_sweep)
+            shape = (chunk, 128)
+
+            def row(rr, _):
+                rows = pl.ds(rr, 1)
+                ths = [prop_refs[k][rows, :] for k in range(K)]
+                theta = jax.tree_util.tree_unflatten(treedef, ths)
+
+                def gen_pair(j):
+                    if bits == "hw":
+                        b1 = pltpu.bitcast(
+                            pltpu.prng_random_bits(shape), jnp.uint32)
+                        b2 = pltpu.bitcast(
+                            pltpu.prng_random_bits(shape), jnp.uint32)
+                    else:
+                        ctr = 2 * (rr * nchunks + j)
+                        b1 = _stub_bits(pid, seed_ref[0], ctr, shape)
+                        b2 = _stub_bits(pid, seed_ref[0], ctr + 1, shape)
+                    ua = to_unit(b1)
+                    ub = to_unit(b2)
+                    if noise == "normal":
+                        r_ = jnp.sqrt(-2.0 * jnp.log1p(-ua))
+                        cv, sv = _sincos_2pi(ub)
+                        return r_ * cv, r_ * sv
+                    return ua, ub
+
+                def accum(sums, x, vmask):
+                    sums = list(sums)
+                    if stats is None:
+                        if vmask is not None:
+                            x = jnp.where(vmask, x, np.float32(0.0))
+                        xp = x
+                        for p in range(nstats):
+                            sums[p] = sums[p] + jnp.sum(
+                                xp, axis=0, keepdims=True)
+                            if p + 1 < nstats:
+                                xp = xp * x
+                    else:
+                        for p, g in enumerate(stats):
+                            gx = jnp.asarray(g(x), jnp.float32)
+                            if vmask is not None:
+                                gx = jnp.where(vmask, gx,
+                                               np.float32(0.0))
+                            sums[p] = sums[p] + jnp.sum(
+                                gx, axis=0, keepdims=True)
+                    return tuple(sums)
+
+                sums = tuple(jnp.zeros((1, 128), jnp.float32)
+                             for _ in range(nstats))
+                nfull = ndraws // (2 * chunk)
+
+                def full_pair(j, sums):
+                    ea, eb = gen_pair(j)
+                    for eps_ in (ea, eb):
+                        x = jnp.asarray(draw(theta, eps_), jnp.float32)
+                        sums = accum(sums, x, None)
+                    return sums
+
+                if nfull:
+                    sums = jax.lax.fori_loop(0, nfull, full_pair, sums)
+                if nchunks > nfull:
+                    ea, eb = gen_pair(nfull)
+                    for hx, eps_ in ((0, ea), (1, eb)):
+                        start = (2 * nfull + hx) * chunk
+                        if start >= ndraws:
+                            continue
+                        x = jnp.asarray(draw(theta, eps_), jnp.float32)
+                        vmask = None
+                        if start + chunk > ndraws:
+                            sub = jax.lax.broadcasted_iota(
+                                jnp.int32, shape, 0)
+                            vmask = start + sub < ndraws
+                        sums = accum(sums, x, vmask)
+                moments = tuple(s * inv_n for s in sums)
+                cost_ref[rows, :] = jnp.asarray(
+                    reduce_cost(theta, moments), jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, TR, row, 0)
+
+            # commit: cost <= max(eps_i, ds) (smc.jl:406)
+            dp = cost_ref[:]
+            ds_old = ds_ref[:]
+            commit = gate & (dp <= jnp.maximum(eps_ref[:], ds_old))
+            for k in range(K):
+                out_refs[k][:] = jnp.where(commit, props[k],
+                                           th_refs[k][:])
+            out_refs[K][:] = jnp.where(commit, lpp, lps_old)
+            out_refs[K + 1][:] = jnp.where(commit, dp, ds_old)
+            out_refs[K + 2][:] = gate.astype(jnp.float32)
+
+        R = npad // 128
+        spec = pl.BlockSpec((TR, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+        def pad(x, cv=0.0):
+            return jnp.pad(x, (0, npad - n),
+                           constant_values=np.float32(cv)).reshape(R, 128)
+
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(npad // sb_rows,),
+            in_specs=[smem] + [spec] * (4 * K + 4),
+            out_specs=[spec] * (K + 3),
+            out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.float32)]
+            * (K + 3),
+            scratch_shapes=[pltpu.VMEM((TR, 128), jnp.float32)]
+            * (K + 1),
+            interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024) if not interp
+            else None,
+        )(jnp.asarray(seed, jnp.uint32).reshape(1),
+          *[pad(x) for x in th_l],
+          *[pad(x) for x in ts_l],
+          *[pad(x) for x in ta_l],
+          *[pad(x) for x in tb_l],
+          # +inf lps padding + 0 active padding: padded walkers never
+          # pass the prior gate
+          pad(lps, np.inf), pad(ds), pad(active), pad(eps_i))
+        out_th = [o.reshape(npad)[:n] for o in outs[:K]]
+        return (out_th, outs[K].reshape(npad)[:n],
+                outs[K + 1].reshape(npad)[:n],
+                outs[K + 2].reshape(npad)[:n])
+
+    def gen(key, thetas, bases, lps, ds, active, eps_i):
+        leaves, treedef = jax.tree_util.tree_flatten(thetas)
+        leaves = [jnp.asarray(x, jnp.float32) for x in leaves]
+        if any(x.ndim != 1 for x in leaves):
+            raise ValueError(
+                "make_fused_abcde_generation expects per-walker scalar "
+                "parameters ([n] leaves); got shapes "
+                f"{[x.shape for x in leaves]}")
+        if len(leaves) != d:
+            raise ValueError(
+                f"prior has {d} scalar marginals but thetas has "
+                f"{len(leaves)} leaves")
+        ts_l, ta_l, tb_l = (
+            [jnp.asarray(x, jnp.float32)
+             for x in jax.tree_util.tree_leaves(t)] for t in bases)
+        n = leaves[0].shape[0]
+        interp = (not _on_tpu()) if interpret is None else interpret
+        if interp and interpret is None:
+            raise RuntimeError(
+                "make_fused_abcde_generation is the TPU fast path; "
+                "off-TPU use ABCDE's split generation (or pass "
+                "interpret=True explicitly for golden tests)")
+        seed = jax.random.bits(key, (), jnp.uint32)
+        active_f = jnp.asarray(active, jnp.float32)
+
+        ndev = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get("walker", 1) if mesh is not None else 1)
+        if ndev > 1:
+            if n % ndev:
+                raise ValueError(
+                    f"n={n} walkers must divide the mesh walker axis "
+                    f"({ndev} devices)")
+            from jax.sharding import PartitionSpec as P
+
+            def local(seed, th_l, ts_l, ta_l, tb_l, lps, ds, al, ei):
+                idx = jax.lax.axis_index("walker").astype(jnp.uint32)
+                lseed = seed + (idx + jnp.uint32(1)) * jnp.uint32(1 << 20)
+                out_th, olps, ods, gate = full_call(
+                    list(th_l), list(ts_l), list(ta_l), list(tb_l),
+                    lps, ds, al, ei, lseed, treedef, n // ndev, interp)
+                return tuple(out_th), olps, ods, gate
+
+            out_th, olps, ods, gate = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(),) + (P("walker"),) * 8,
+                out_specs=(P("walker"),) * 4,
+                check_vma=False)(
+                seed, tuple(leaves), tuple(ts_l), tuple(ta_l),
+                tuple(tb_l), lps, ds, active_f, eps_i)
+            out_th = list(out_th)
+        else:
+            out_th, olps, ods, gate = full_call(
+                leaves, ts_l, ta_l, tb_l, lps, ds, active_f, eps_i,
+                seed, treedef, n, interp)
+        return (jax.tree_util.tree_unflatten(treedef, out_th),
+                olps, ods, gate)
+
+    gen.mesh = mesh
+    gen.gamma = float(gamma)
+    return gen
+
+
 def make_fused_smc_sweep(prior, draw, reduce_cost, *,
                          max_stretch: float = 2.0, nmoments: int = 2,
                          stats=None, ndraws: int = 1000,

@@ -1293,3 +1293,124 @@ class TestFusedTemperedSweep:
         assert np.allclose(kv, np.round(kv)), kv[:8]
         assert 1.0 <= kv.min() and kv.max() <= 6.0
         assert abs(a_post.mean() - 1.1) < 0.15
+
+
+class TestFusedABCDEGeneration:
+    """make_fused_abcde_generation (r5): the DE twin — per-walker
+    downstream of each ABCDE generation (DE proposal, prior-MH gate,
+    streaming simulator, cost-vs-threshold commit) as ONE pallas_call;
+    the population-global base/partner selection (rank trick, gathers)
+    stays in XLA. Completes the fused tier across all four ensemble
+    samplers."""
+
+    @staticmethod
+    def _model(ndraws=200):
+        import kissabc_tpu as ka
+
+        prior = ka.Factored(ka.Uniform(1, 3),
+                            ka.TruncatedNormal(0, 0.05, 0, 100))
+
+        def draw(th, eps):
+            return th[0] + th[1] * eps
+
+        def rc(th, m):
+            var = jnp.maximum(m[1] - m[0] * m[0], 0.0)
+            return jnp.sqrt(jnp.square(m[0] - 2.0)
+                            + jnp.square((jnp.sqrt(var) - 0.04) * 50.0))
+
+        scost = ka.make_streaming_moment_cost(draw, rc, ndraws=ndraws)
+        gamma = 2.38 / np.sqrt(4.0)  # proposal_width=1, d=2
+        return prior, draw, rc, scost, float(gamma)
+
+    def test_validation(self):
+        import kissabc_tpu as ka
+
+        prior, draw, rc, scost, gamma = self._model()
+        with pytest.raises(ValueError, match="multiple of 128"):
+            ka.make_fused_abcde_generation(prior, draw, rc,
+                                           gamma=gamma, block=100)
+        with pytest.raises(ValueError, match="cost_on"):
+            ka.make_fused_abcde_generation(prior, draw, rc,
+                                           gamma=gamma, cost_on="x")
+        # gamma consistency is enforced at the sampler
+        bad = ka.make_fused_abcde_generation(
+            prior, draw, rc, gamma=0.123, block=128, walker_tiles=2,
+            bits="stub", interpret=True)
+        with pytest.raises(ValueError, match="same gamma"):
+            ka.ABCDE(prior, scost, 0.1, nparticles=256,
+                     cost_vectorized=True, sweep_fused=bad,
+                     verbose=False)
+        if not ON_TPU:
+            auto = ka.make_fused_abcde_generation(prior, draw, rc,
+                                                  gamma=gamma)
+            with pytest.raises(RuntimeError, match="TPU fast path"):
+                ka.ABCDE(prior, scost, 0.1, nparticles=256,
+                         cost_vectorized=True, sweep_fused=auto,
+                         verbose=False)
+
+    def test_interpret_matches_split_statistically(self):
+        """Full PRODUCTION ABCDE with the fused generation (interpret +
+        stub off-TPU) recovers the flagship posterior like the split
+        path, with a comparable simulator-call tally."""
+        import kissabc_tpu as ka
+
+        prior, draw, rc, scost, gamma = self._model()
+        gen = ka.make_fused_abcde_generation(
+            prior, draw, rc, gamma=gamma, ndraws=200, block=128,
+            chunk=128, walker_tiles=2, bits="stub", interpret=True)
+        a = ka.ABCDE(prior, scost, 0.1, nparticles=512, generations=40,
+                     cost_vectorized=True, sweep_fused=gen,
+                     verbose=False, key=3)
+        b = ka.ABCDE(prior, scost, 0.1, nparticles=512, generations=40,
+                     cost_vectorized=True, verbose=False, key=3)
+        for res in (a, b):
+            mu, sg = res.P
+            assert abs(mu.mean() - 2.0) < 0.02
+            assert abs(sg.mean() - 0.04) < 0.005
+        assert abs(a.nsim - b.nsim) / b.nsim < 0.15
+
+    def test_sharded_mesh_and_guard(self):
+        import kissabc_tpu as ka
+        from kissabc_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        prior, draw, rc, scost, gamma = self._model()
+        mesh = make_mesh(walker=8)
+        gen = ka.make_fused_abcde_generation(
+            prior, draw, rc, gamma=gamma, ndraws=200, block=128,
+            chunk=128, walker_tiles=1, bits="stub", interpret=True,
+            mesh=mesh)
+        res = ka.ABCDE(prior, scost, 0.1, nparticles=512,
+                       generations=30, cost_vectorized=True,
+                       sweep_fused=gen, mesh=mesh, verbose=False, key=5)
+        mu, sg = res.P
+        assert abs(mu.mean() - 2.0) < 0.03
+        assert abs(sg.mean() - 0.04) < 0.005
+        single = ka.make_fused_abcde_generation(
+            prior, draw, rc, gamma=gamma, bits="stub", interpret=True)
+        with pytest.raises(ValueError, match="SAME mesh"):
+            ka.ABCDE(prior, scost, 0.1, nparticles=512,
+                     cost_vectorized=True, sweep_fused=single,
+                     mesh=mesh, verbose=False)
+
+    @pytest.mark.tpu_hw
+    @pytest.mark.skipif(not ON_TPU, reason="needs TPU hardware PRNG")
+    def test_matches_split_on_tpu(self):
+        """PRODUCTION ABCDE through the hw fused generation vs the
+        split path on the flagship oracle."""
+        import kissabc_tpu as ka
+
+        prior, draw, rc, scost, gamma = self._model(ndraws=1000)
+        gen = ka.make_fused_abcde_generation(prior, draw, rc,
+                                             gamma=gamma, ndraws=1000)
+        a = ka.ABCDE(prior, scost, 0.02, nparticles=4096,
+                     generations=60, cost_vectorized=True,
+                     sweep_fused=gen, verbose=False, key=2)
+        b = ka.ABCDE(prior, scost, 0.02, nparticles=4096,
+                     generations=60, cost_vectorized=True,
+                     verbose=False, key=2)
+        for res in (a, b):
+            mu, sg = res.P
+            assert abs(mu.mean() - 2.0) < 0.02
+            assert abs(sg.mean() - 0.04) < 0.003

@@ -167,6 +167,11 @@ def values(rows):
         "abcde_gens": str(ab["generations"]),
         "abcde_nsim": f"{ab['nsim']:,}",
         "abcde_ok": _ok(ab["ok"]),
+        # pre-r5c rows lack the fused-generation fields
+        "abcde_fused": (_m(ab["fused_updates_per_s"])
+                        if "fused_updates_per_s" in ab else "(pending)"),
+        "abcde_split": (_m(ab["split_updates_per_s"])
+                        if "split_updates_per_s" in ab else "(pending)"),
         "gk_wall": _s(gk["wall_s"]),
         "gk_eps": f"{gk['eps']:.3f}",
         "gk_ok": _ok(gk["ok"]),
