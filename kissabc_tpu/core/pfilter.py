@@ -143,9 +143,13 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
             lambda k: masked_distinct(k, good, 3, order=order)
         )(jax.random.split(kp, n))
         w = jax.random.normal(kw, (n,), _f32) * proposal_width
-        tb = tgather(thetas, bs)
-        tc = tgather(thetas, css)
-        td = tgather(thetas, dss)
+        # one gather for all three partner pulls (concatenated indices —
+        # each separate gather pays the per-element latency wall,
+        # ops/tree.py)
+        g3 = tgather(thetas, jnp.concatenate([bs, css, dss]))
+        tb = tree_map(lambda x: x[:n], g3)
+        tc = tree_map(lambda x: x[n:2 * n], g3)
+        td = tree_map(lambda x: x[2 * n:], g3)
         props = tree_map(
             lambda xb, xc, xd: xb + (xd - xc)
             * w.reshape((n,) + (1,) * (xb.ndim - 1)),

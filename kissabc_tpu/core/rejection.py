@@ -200,7 +200,7 @@ def _threshold_program(prior, cost, n, b, epsv, max_batches,
              jnp.int32(0), kloop))
         # sort best-first like budget mode (unfilled +inf slots go last)
         order = jnp.argsort(buf_cs)
-        buf_th, buf_cs = tgather(buf_th, order), buf_cs[order]
+        buf_th, buf_cs = tgather((buf_th, buf_cs), order)
         pushed = jax.vmap(prior.push_tree)(buf_th)
         return pushed, buf_cs, fill, nacc, t
 

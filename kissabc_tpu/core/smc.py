@@ -175,8 +175,10 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
                 ridx = replicate_alive(al)
             else:
                 ridx = systematic(kres, al.astype(_f32))
-            return (tgather(th, ridx), x_[ridx], lp_[ridx],
-                    jnp.ones_like(al))
+            # one combined tgather: packs th+xs+lps into a single row
+            # gather (per-element latency wall — see ops/tree.py)
+            th, x_, lp_ = tgather((th, x_, lp_), ridx)
+            return (th, x_, lp_, jnp.ones_like(al))
 
         thetas, xs, lps, alive = jax.lax.cond(
             need, resample_branch, lambda op: op, (thetas, xs, lps, alive))

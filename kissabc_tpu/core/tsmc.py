@@ -203,9 +203,9 @@ def tsmc(prior, loglike, *, nparticles: int = 1000, alpha: float = 0.5,
         w = jnp.exp(dlam * ll - m)
         cur_ess = ess_weights(w)
         idx = systematic(kres, w)
-        thetas = tgather(thetas, idx)
-        lp = lp[idx]
-        ll = ll[idx]
+        # one combined tgather: packs thetas+lp+ll into a single row
+        # gather (per-element latency wall — see ops/tree.py)
+        thetas, lp, ll = tgather((thetas, lp, ll), idx)
         lam = lam + dlam
 
         thetas, lp, ll = rejuvenate(kmc, thetas, lp, ll, lam)

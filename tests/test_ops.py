@@ -64,6 +64,22 @@ def test_systematic_low_variance():
     np.testing.assert_array_equal(np.sort(idx), np.arange(8))
 
 
+def test_systematic_stratification_bound():
+    """The defining property of systematic resampling: every ancestor's
+    replication count is within 1 of its expectation n*w (pins the r5
+    closed-form scatter+cumsum implementation — searchsorted lowered to
+    a log2(n)-iteration gather loop, 158->10 ms at 1M particles)."""
+    rng = np.random.default_rng(1)
+    for t, n in enumerate((7, 64, 1001)):
+        w = rng.exponential(size=n).astype(np.float32) ** 3 + 1e-12
+        idx = np.asarray(systematic(jax.random.fold_in(KEY, 100 + t),
+                                    jnp.asarray(w)))
+        wn = w / w.sum()
+        counts = np.bincount(idx, minlength=n)
+        assert (np.abs(counts - n * wn) <= 1.0 + 1e-4).all()
+        assert counts.sum() == n
+
+
 def test_sample_distinct_excludes_and_uniform():
     n = 7
     excl = (jnp.asarray(2), jnp.asarray(5))
