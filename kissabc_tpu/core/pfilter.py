@@ -110,17 +110,17 @@ def pfilter(prior, cost, N: int, *, q: float = 0.7, eff_tol: float = 0.1,
     del parallel
     if cost_on not in ("raw", "pushed"):
         raise ValueError(f"cost_on must be 'raw' or 'pushed', got {cost_on!r}")
-    if resolve_quantile_impl(quantile_impl, mesh) == "sort":
-        qfn = quantile
-    else:
-        def qfn(x, qq):
-            return masked_quantile_bisect(x, jnp.ones(x.shape, bool), qq)
     push_cost = cost_on == "pushed"
     d = prior.nparams
     low_n = 4 * d
     if N * q <= low_n:
         N = math.ceil((low_n + 1) / q)
     n = N
+    if resolve_quantile_impl(quantile_impl, mesh, n) == "sort":
+        qfn = quantile
+    else:
+        def qfn(x, qq):
+            return masked_quantile_bisect(x, jnp.ones(x.shape, bool), qq)
     cost2 = cost if cost_vectorized else _adapt_cost(cost)
     max_outer = 100_000 if math.isinf(max_iters) else int(max_iters) + 1
 

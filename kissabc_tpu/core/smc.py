@@ -95,18 +95,18 @@ def _smc_program(prior, cost2, *, nparticles, alpha, mcmc_retrys, mcmc_tol,
     d = prior.nparams
     retry_n = 1 + mcmc_retrys
     tol_count = mcmc_tol * n
-    # quantile_impl: the sort-based masked quantile beats the O(n)-
-    # reduction value-bisection variant on a SINGLE chip even at 1M
-    # particles (the 60 data-dependent bisection reductions are
-    # latency-bound inside the while body; the sort is one fused
-    # parallel kernel) — but on a multi-chip mesh the sort lowers to a
-    # full-population all-gather per iteration while the bisection is
-    # O(iters) SCALAR all-reduces (O(1) bytes/chip), so 'auto' picks
+    # quantile_impl: the sort-based masked quantile wins on a single
+    # chip at moderate n, but the 33-pass bit-pattern bisection is
+    # nearly flat in n (sort 1.74 vs bisect 0.46 ms at n=2^20 —
+    # profiled as 15% of the 1M smc iteration), so 'auto' is
+    # size-aware (bisect at n >= 2^18). On a multi-chip mesh the sort
+    # would lower to a full-population all-gather per iteration while
+    # the bisection is O(iters) SCALAR all-reduces, so 'auto' picks
     # bisect when the population is sharded. The two are bit-identical
     # on the same multiset (test_ops.py), so the sharded-vs-unsharded
     # bitwise determinism contract survives the switch.
     qfn = (masked_quantile
-           if resolve_quantile_impl(quantile_impl, mesh) == "sort"
+           if resolve_quantile_impl(quantile_impl, mesh, n) == "sort"
            else masked_quantile_bisect)
 
     vlogpdf = jax.vmap(lambda th: prior.logpdf_tree(prior.push_tree(th)))
