@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.tree import tselect, tree_map
+from ..ops.tree import tgather, tselect, tree_map
 from ..particles import Particles, particles_from_tree
 from ..utils.hostfetch import fetch, fetch_tree
 from ..utils.rng import as_key
@@ -160,17 +160,15 @@ def ABCDE(prior, cost, eps_target: float, *, nparticles: int = 50,
         bb = bb + (bb >= hi)
         del ka2, kb2
 
-        # ONE stacked gather for all three partner pulls: each separate
-        # [n] gather costs ~116 us of latency at n=16k regardless of
-        # size (profiled), so 3 pulls x K leaves as one [K, 3n] gather
-        # collapses 3K latency walls into one
-        th_leaves, th_def = jax.tree_util.tree_flatten(thetas)
-        stack = jnp.stack(th_leaves)
-        g3 = jnp.take(stack, jnp.concatenate([s, aa, bb]), axis=1)
-        unfl = jax.tree_util.tree_unflatten
-        ts = unfl(th_def, list(g3[:, :n]))
-        ta = unfl(th_def, list(g3[:, n:2 * n]))
-        tb = unfl(th_def, list(g3[:, 2 * n:]))
+        # ONE gather for all three partner pulls: each separate [n]
+        # gather costs ~116 us of latency at n=16k regardless of size
+        # (profiled), so 3 pulls x K leaves through tgather's packed
+        # row gather (ops/tree.py) collapse 3K latency walls into one;
+        # non-(n,) leaves (multivariate marginals) fall back per-leaf
+        g3 = tgather(thetas, jnp.concatenate([s, aa, bb]))
+        ts = tree_map(lambda x: x[:n], g3)
+        ta = tree_map(lambda x: x[n:2 * n], g3)
+        tb = tree_map(lambda x: x[2 * n:], g3)
 
         if sweep_fused is not None:
             # fused per-walker downstream: proposal + prior gate +

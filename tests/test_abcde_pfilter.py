@@ -35,6 +35,26 @@ def test_abcde_earlystop():
     assert res.iterations < 2000
 
 
+def test_abcde_multivariate_marginal():
+    """Non-(n,) theta leaves (MvNormal marginal) through the packed
+    partner gather — regression for the r5 stacked-gather rewrite,
+    which briefly required homogeneous scalar leaves."""
+    pri = ka.Factored(ka.MvNormal(np.zeros(2), np.eye(2)),
+                      ka.Normal(0.0, 1.0))
+
+    def cost(th):
+        v, s = th
+        return jnp.abs(v[0] - 1.0) + jnp.abs(v[1] + 1.0) + jnp.abs(s)
+
+    res = ka.ABCDE(pri, cost, 0.35, nparticles=64, generations=300,
+                   verbose=False, key=1)
+    assert res.reached_eps
+    means = [float(np.mean(np.asarray(p.particles))) for p in res.P]
+    assert abs(means[0] - 1.0) < 0.1
+    assert abs(means[1] + 1.0) < 0.1
+    assert abs(means[2]) < 0.1
+
+
 def test_abcde_mixture_annealing():
     """alpha-annealed population threshold on the mixture model."""
     pri = ka.Uniform(-10, 10)
